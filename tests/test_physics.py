@@ -1,0 +1,109 @@
+"""Physics property tests on the full model step: conservation of SSH
+volume and tracer content (flux-form telescoping), bump symmetry on a flat
+basin, and the stability guard."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from ocean_model_arch_tpu.config import (ModelConfig, Precision, SWConfig,
+                                         basinpar_flat)
+from ocean_model_arch_tpu.core.grid import build_grid
+from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+from ocean_model_arch_tpu.model.init import init_ocean_state
+from ocean_model_arch_tpu.model.step import make_step, run_steps
+
+
+@pytest.fixture(scope="module")
+def flat_model():
+    basin = basinpar_flat(66, 66)
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=Precision.f64())
+    mask = frame_of_land_mask(basin.nx, basin.ny)
+    grid = build_grid(basin, mask)
+    state = init_ocean_state(grid, cfg)
+    step = jax.jit(make_step(grid, cfg))
+    return grid, cfg, state, step
+
+
+def wet_sum(field, grid, mask):
+    w = np.asarray(mask) > 0.5
+    area = np.asarray(grid.dx, np.float64) * np.asarray(grid.dy, np.float64)
+    return float(np.sum(np.asarray(field) * area * w))
+
+
+def test_ssh_volume_conserved(flat_model):
+    grid, cfg, state, step = flat_model
+    st, _ = run_steps(step, state, 1.0, 100)
+    v0 = wet_sum(state.ssh, grid, grid.lu)
+    v1 = wet_sum(st.ssh, grid, grid.lu)
+    # flux-form continuity telescopes: total ssh volume is invariant
+    assert abs(v1 - v0) < 1e-6 * max(1.0, abs(v0))
+
+
+def test_tracer_content_conserved(flat_model):
+    grid, cfg, state, step = flat_model
+    st_a, _ = run_steps(step, state, 1.0, 100)
+    st_b, _ = step(st_a, 1.0)
+    # the flux-form leapfrog update conserves water-column tracer content:
+    # sum(hhq_n * area * ffn) after the step equals
+    # sum(hhq_p * area * ffp_old) with the depths of the same step
+    # (tran_diff_tracer_kernel telescopes, boundary fluxes vanish)
+    c_new = wet_sum(np.asarray(st_b.hhq_n) * np.asarray(st_b.ffn[0]),
+                    grid, grid.lu)
+    c_prev = wet_sum(np.asarray(st_b.hhq_p) * np.asarray(st_a.ffp[0]),
+                     grid, grid.lu)
+    assert abs(c_new - c_prev) < 1e-6 * max(1.0, abs(c_prev))
+
+
+def test_bump_symmetry(flat_model):
+    grid, cfg, state, step = flat_model
+    st, _ = run_steps(step, state, 1.0, 50)
+    s = np.asarray(st.ssh)
+    # bump center: Fortran (nx/2, ny/2) = (33, 33) -> 0-based (32, 32);
+    # reflection i -> 64 - i about the center inside the wet interior
+    c = 2 * (66 // 2 - 1)
+    inner = slice(10, 55)
+    np.testing.assert_allclose(s[inner, inner],
+                               s[c - 10:c - 55:-1, inner], rtol=0,
+                               atol=1e-10)
+    np.testing.assert_allclose(s[inner, inner],
+                               s[inner, c - 10:c - 55:-1], rtol=0,
+                               atol=1e-10)
+    # note: x<->y transpose symmetry does NOT hold exactly — the cartesian
+    # preset carries an f-plane Coriolis term (rlh = 2*Omega/sqrt(2))
+
+
+def test_gravity_wave_speed(flat_model):
+    """The bump must radiate at ~sqrt(g*H); check energy leaves the center
+    and the field stays bounded (physical sanity, not parity)."""
+    grid, cfg, state, step = flat_model
+    st, ok = run_steps(step, state, 1.0, 400)
+    assert bool(ok)
+    s0 = np.asarray(state.ssh)
+    s1 = np.asarray(st.ssh)
+    assert s1.max() < s0.max()       # peak dispersed
+    assert s1.max() > 0.0
+
+
+def test_check_ssh_guard(flat_model):
+    grid, cfg, state, step = flat_model
+    # pollute sshp: the new sshn = sshp + ... inherits the spike and the
+    # rotated ssh trips the guard (as in the reference, the check runs on
+    # the post-rotation ssh — shallow_water.f90:90-92)
+    bad = dataclasses.replace(
+        state, sshp=state.sshp.at[30, 30].set(2.0e4))
+    _, ok = step(bad, 1.0)
+    assert not bool(ok)
+
+
+def test_land_points_untouched(flat_model):
+    grid, cfg, state, step = flat_model
+    st, _ = run_steps(step, state, 1.0, 20)
+    land = np.asarray(grid.lu) < 0.5
+    np.testing.assert_array_equal(np.asarray(st.ssh)[land], 0.0)
+    np.testing.assert_array_equal(np.asarray(st.ubrtr)[land
+                                  & (np.asarray(grid.lcu) < 0.5)], 0.0)
