@@ -1,0 +1,119 @@
+"""Parallel layer tests: analytic i*j halo-exchange verification (the
+reference's sync_test, shared/mpp/syncborder_block2D_gen_test.fi, done for
+every mesh shape), and decomposition invariance of the full model step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ocean_model_arch_tpu.config import (ModelConfig, Precision, SWConfig,
+                                         basinpar_flat)
+from ocean_model_arch_tpu.core.grid import build_grid
+from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+from ocean_model_arch_tpu.model.init import init_ocean_state
+from ocean_model_arch_tpu.model.sharded import make_sharded_step, prepare
+from ocean_model_arch_tpu.model.step import make_step, run_steps
+from ocean_model_arch_tpu.parallel.domain import crop_state
+from ocean_model_arch_tpu.parallel.halo import ShardHalo
+from ocean_model_arch_tpu.parallel.mesh import make_mesh, shard_tree
+
+MESHES = [(2, 1), (1, 2), (2, 2), (4, 2), (2, 4), (8, 1)]
+
+
+@pytest.mark.parametrize("px,py", MESHES)
+@pytest.mark.parametrize("periodic", [False, True])
+def test_halo_exchange_ij(px, py, periodic):
+    """Every halo cell must equal the analytic global value i*j after the
+    exchange (decomposition-independent, like sync_test :10-97)."""
+    nx, ny = 16 * px, 8 * py
+    i = np.arange(1, nx + 1)[:, None]
+    j = np.arange(1, ny + 1)[None, :]
+    f_global = (i * j).astype(np.float64)
+
+    mesh = make_mesh(px, py)
+    hp = ShardHalo(px, py, periodic_x=periodic, periodic_y=periodic)
+
+    ex_sharded = jax.jit(jax.shard_map(
+        hp.ex, mesh=mesh, in_specs=P("x", "y"),
+        out_specs=P("x", "y"), check_vma=False))
+
+    f = jax.device_put(f_global,
+                       jax.NamedSharding(mesh, P("x", "y")))
+    out = np.asarray(ex_sharded(f))  # (nx + px*4, ny + py*4) tiled shards
+
+    lx, ly = nx // px, ny // py
+    h = 2
+    # reconstruct each shard's padded block and verify against the global
+    # analytic field with zero (or wrapped) out-of-domain values
+    def expected(mi, nj):
+        if periodic:
+            mi, nj = mi % nx, nj % ny
+            return float((mi + 1) * (nj + 1))
+        if 0 <= mi < nx and 0 <= nj < ny:
+            return float((mi + 1) * (nj + 1))
+        return 0.0
+
+    out = out.reshape(px, lx + 2 * h, py, ly + 2 * h).transpose(0, 2, 1, 3)
+    for bi in range(px):
+        for bj in range(py):
+            blk = out[bi, bj]
+            for ii in range(lx + 2 * h):
+                for jj in range(ly + 2 * h):
+                    gm = bi * lx + ii - h
+                    gn = bj * ly + jj - h
+                    assert blk[ii, jj] == expected(gm, gn), (
+                        (px, py, periodic, bi, bj, ii, jj))
+
+
+@pytest.fixture(scope="module")
+def flat_case():
+    basin = basinpar_flat(66, 50)
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=Precision.f64())
+    grid = build_grid(basin, frame_of_land_mask(66, 50))
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state, 1.0, 40)
+    assert bool(ok)
+    return grid, cfg, state, ref
+
+
+@pytest.mark.parametrize("px,py", MESHES)
+def test_step_decomposition_invariance(flat_case, px, py):
+    """1x1 vs any mesh: the sharded trajectory must match the
+    single-device one to round-off (the reference's block abstraction
+    guarantees this by construction; here it validates the halo schedule)."""
+    grid, cfg, state, ref = flat_case
+    mesh = make_mesh(px, py)
+    gs, ss = prepare(grid, state, mesh)
+    stepN = make_sharded_step(gs, cfg, mesh, n_inner=40)
+    out, ok = stepN(ss, 1.0)
+    assert bool(ok)
+    out = crop_state(out, 66, 50)
+    for name in ("ssh", "sshp", "ubrtr", "vbrtr", "hhq", "hhu"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=0, atol=1e-12, err_msg=name)
+    np.testing.assert_allclose(np.asarray(out.ff), np.asarray(ref.ff),
+                               rtol=0, atol=1e-12)
+
+
+def test_periodic_channel_wraps():
+    """A periodic-x channel: a bump advected by the gravity wave must wrap
+    around the seam without reflection artifacts at the x edges."""
+    import dataclasses
+    basin = dataclasses.replace(basinpar_flat(64, 34), periodicity_x=1)
+    cfg = ModelConfig(basin=basin, precision=Precision.f64())
+    mask = np.zeros((64, 34), np.int32)
+    mask[:, :2] = 1
+    mask[:, -2:] = 1  # walls only in y; open (periodic) in x
+    grid = build_grid(basin, mask)
+    state = init_ocean_state(grid, cfg)
+    step = jax.jit(make_step(grid, cfg))
+    st, ok = run_steps(step, state, 1.0, 300)
+    assert bool(ok)
+    s = np.asarray(st.ssh)
+    assert np.isfinite(s).all()
+    # field reached the seam columns (periodic transport happened)
+    assert np.abs(s[0, 5:-5]).max() > 1e-6
