@@ -1,0 +1,79 @@
+"""Headline benchmark: grid-points/s/chip of the full shallow-water step.
+
+Workload = the reference's shipped default configuration (basin.par: Azov
+Sea 250 m extents 1525x1115, spherical metrics, 'none' mask -> 2-cell land
+frame, flat 100 m bathymetry, gaussian-bump SSH; sw.par defaults: full free
+surface + momentum transport + lateral viscosity, no tracers), run in f32
+production precision on one chip.
+
+Prints ONE JSON line:
+  {"metric": "sw_step_points_per_sec_per_chip", "value": N,
+   "unit": "points/s", "vs_baseline": F}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+reports the achieved fraction of the HBM-bandwidth roofline (speed of
+light for this memory-bound stencil step): traffic model ~58 f32
+array-passes per step per point (unique reads+writes over the 11-kernel
+sequence after fusion of pointwise stages), v5e HBM ~ 819 GB/s.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ocean_model_arch_tpu.config import (ModelConfig, Precision,
+                                             SWConfig, basinpar_as250m_test)
+    from ocean_model_arch_tpu.core.grid import build_grid
+    from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+    from ocean_model_arch_tpu.model.init import init_ocean_state
+    from ocean_model_arch_tpu.model.step import make_step, run_steps
+
+    basin = basinpar_as250m_test()
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
+                      precision=prec)
+    state = init_ocean_state(grid, cfg)
+    step = make_step(grid, cfg)
+
+    n_inner = 50
+
+    def run(st):
+        return run_steps(step, st, np.float32(1.0), n_inner)
+
+    run_j = jax.jit(run)
+    # warmup + compile
+    st, ok = run_j(state)
+    jax.block_until_ready(st.ssh)
+    assert bool(ok), "stability guard tripped in benchmark"
+
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        st, ok = run_j(st)
+    jax.block_until_ready(st.ssh)
+    dt = time.perf_counter() - t0
+
+    steps = n_inner * reps
+    points = basin.nx * basin.ny
+    pts_per_s = points * steps / dt
+
+    # HBM roofline: ~58 f32 passes/point/step; v5e ~819 GB/s
+    sol = 819e9 / (58 * 4)
+    out = {
+        "metric": "sw_step_points_per_sec_per_chip",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_s / sol, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
