@@ -1,0 +1,53 @@
+"""CLI driver: ``python -m ocean_model_arch_tpu [config_dir] [overrides]``.
+
+Mirrors the reference's invocation (./model with basin.par/sw.par/
+parallel.par/ocean_run.par in the working directory + positional CLI
+overrides, configs/cmd.f90).
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="ocean_model_arch_tpu",
+        description="TPU-native shallow-water ocean model")
+    p.add_argument("config_dir", nargs="?", default=".",
+                   help="directory with basin.par/sw.par/parallel.par/"
+                        "ocean_run.par")
+    p.add_argument("overrides", nargs="*",
+                   help="positional overrides: mod_decomposition bppnx bppny")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh as PXxPY (e.g. 2x4)")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--f32", action="store_true",
+                   help="f32 production precision (default: f64 validation)")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    from .config import Precision
+    from .model.model import OceanModel, load_config_dir
+
+    cfg = load_config_dir(args.config_dir, args.overrides)
+    if args.f32:
+        cfg = dataclasses.replace(cfg, precision=Precision.f32())
+    else:
+        jax.config.update("jax_enable_x64", True)
+    if args.mesh:
+        px, py = (int(v) for v in args.mesh.lower().split("x"))
+        cfg = dataclasses.replace(
+            cfg, parallel=dataclasses.replace(cfg.parallel,
+                                              mesh_x=px, mesh_y=py))
+
+    model = OceanModel(cfg, base_dir=args.config_dir)
+    model.run(checkpoint_path=args.checkpoint, verbose=not args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""Top-level model driver — the analog of the reference's program model
+(model.f90): config loading, mask/grid/state init, the time loop with
+output cadence, the per-step stability guard, phase timers, and
+checkpoint/resume.
+
+The inner loop runs ``output_every_steps`` model steps per device-side
+lax.scan invocation (the whole inter-output trajectory is one XLA
+program), then returns to host for output/guard — mirroring the
+reference's master-thread output block (model.f90:172-197) at the same
+cadence.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import (ModelConfig, Precision, load_basinpar, load_parallel,
+                      load_runpar, load_sw)
+from ..core.grid import Grid, build_grid
+from ..core.state import SWState
+from ..io import grads
+from ..io.checkpoint import load_checkpoint, save_checkpoint
+from ..io.mask_io import load_mask
+from ..parallel.domain import crop_state
+from ..parallel.mesh import make_mesh
+from ..utils.calendar import model_time
+from ..utils.timers import PhaseTimers
+from .init import init_ocean_state
+from .sharded import make_sharded_step, prepare
+from .step import make_step, run_steps
+
+
+def load_config_dir(path: str = ".", argv=None) -> ModelConfig:
+    """Load the four reference-format .par files from a directory
+    (model.f90:50-56)."""
+    return ModelConfig(
+        basin=load_basinpar(os.path.join(path, "basin.par")),
+        sw=load_sw(os.path.join(path, "sw.par")),
+        parallel=load_parallel(os.path.join(path, "parallel.par"), argv),
+        run=load_runpar(os.path.join(path, "ocean_run.par")),
+    )
+
+
+class OceanModel:
+    """Build + run a configured model."""
+
+    def __init__(self, cfg: ModelConfig, base_dir: str = ".",
+                 results_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.base_dir = base_dir
+        self.results_dir = results_dir or os.path.join(base_dir, "RESULTS")
+        self.timers = PhaseTimers()
+
+        basin = cfg.basin
+        with self.timers.phase("init_grid"):
+            int_mask = load_mask(basin.mask_file_name, basin.nx, basin.ny,
+                                 base_dir)
+            hhq_rest = None
+            if basin.bottom_topography_file_name != "none":
+                hhq_rest = grads.read_record(
+                    os.path.join(base_dir,
+                                 basin.bottom_topography_file_name),
+                    1, basin.nx, basin.ny).astype(cfg.precision.state_dtype)
+            self.grid: Grid = build_grid(basin, int_mask, hhq_rest,
+                                         cfg.precision)
+
+        with self.timers.phase("init_state"):
+            ssh0 = None
+            if cfg.sw.ssh_init_file_name != "none":
+                ssh0 = grads.read_record(
+                    os.path.join(base_dir, "INIT",
+                                 cfg.sw.ssh_init_file_name),
+                    1, basin.nx, basin.ny)
+            self.state: SWState = init_ocean_state(self.grid, cfg, ssh0)
+        self.num_step = cfg.run.init_step
+
+        # Mesh selection (parallel.par analog): 1x1 -> single-device path
+        px, py = cfg.parallel.mesh_x, cfg.parallel.mesh_y
+        self.mesh = None
+        if px * py > 1:
+            self.mesh = make_mesh(px, py)
+            self._grid_s, self._state_s = prepare(self.grid, self.state,
+                                                  self.mesh)
+
+    # ------------------------------------------------------------------
+    def _make_runner(self, n_inner: int):
+        tau = self.cfg.run.tau
+        if self.mesh is not None:
+            stepn = make_sharded_step(self._grid_s, self.cfg, self.mesh,
+                                      n_inner=n_inner)
+            def runner(st):
+                return stepn(st, tau)
+            return runner
+        step = make_step(self.grid, self.cfg)
+
+        @jax.jit
+        def runner(st):
+            return run_steps(step, st, tau, n_inner)
+        return runner
+
+    def _output(self, state: SWState, nrec: int):
+        basin, run = self.cfg.basin, self.cfg.run
+        t = model_time(self.num_step, run.tau, run.init_year)
+        lu = np.asarray(self.grid.lu)
+        common = dict(nx=basin.nx - 4, ny=basin.ny - 4, nt=nrec,
+                      x0=basin.rlon, hx=basin.dxst,
+                      y0=basin.rlat, hy=basin.dyst,
+                      year=t.year, month=t.month, day=t.day,
+                      hour=t.hour, minute=t.minute,
+                      tstep_sec=run.loc_data_wr_period_min * 60.0)
+        if nrec == 1:
+            p = os.path.join(self.results_dir, "hhq.dat")
+            grads.write_record(p, 1, np.asarray(self.grid.hhq_rest), lu)
+            grads.write_ctl(p, title="HHQ, m", varname="hhq", **common)
+        p = os.path.join(self.results_dir, "ssh.dat")
+        grads.write_record(p, nrec, np.asarray(state.ssh), lu)
+        grads.write_ctl(p, title="SSH, m", varname="ssh", **common)
+        if self.cfg.sw.use_tracers > 0 and state.ff is not None:
+            p = os.path.join(self.results_dir, "ff1.dat")
+            grads.write_record(p, nrec, np.asarray(state.ff[-1]), lu)
+            grads.write_ctl(p, title="ff1 (last)", varname="ff1", **common)
+
+    # ------------------------------------------------------------------
+    def run(self, checkpoint_path: Optional[str] = None,
+            verbose: bool = True) -> SWState:
+        """The main time loop (model.f90:132-200)."""
+        cfg = self.cfg
+        run = cfg.run
+        n_total = run.num_step_max
+        n_out = run.output_every_steps or n_total
+
+        if run.start_type == 1 and checkpoint_path \
+                and os.path.exists(checkpoint_path):
+            self.state, self.num_step = load_checkpoint(checkpoint_path)
+            if verbose:
+                print(f"MODEL: resumed from {checkpoint_path} "
+                      f"at step {self.num_step}")
+
+        sharded = self.mesh is not None
+        state = self._state_s if sharded else self.state
+        runner = self._make_runner(n_out)
+
+        nrec = 1
+        if run.output_every_steps:
+            with self.timers.phase("output"):
+                out_state = (crop_state(state, cfg.basin.nx, cfg.basin.ny)
+                             if sharded else state)
+                self._output(out_state, nrec)
+
+        done = self.num_step
+        while done < n_total:
+            n_batch = min(n_out, n_total - done)
+            if n_batch != n_out:
+                runner = self._make_runner(n_batch)
+            with self.timers.phase("model_step"):
+                state, ok = runner(state)
+                jax.block_until_ready(ok)
+            done += n_batch
+            self.num_step += n_batch
+            if not bool(ok):
+                raise FloatingPointError(
+                    "SIGFPRE predict error: |ssh| >= 1e4 "
+                    f"within steps {done - n_batch}..{done}")
+            if run.output_every_steps:
+                nrec += 1
+                with self.timers.phase("output"):
+                    out_state = (crop_state(state, cfg.basin.nx,
+                                            cfg.basin.ny)
+                                 if sharded else state)
+                    self._output(out_state, nrec)
+            if verbose:
+                t = model_time(self.num_step, run.tau, run.init_year)
+                print(f"MODEL: step {self.num_step}/{n_total}  {t.stamp()}")
+
+        final = (crop_state(state, cfg.basin.nx, cfg.basin.ny)
+                 if sharded else state)
+        self.state = final
+        if checkpoint_path:
+            with self.timers.phase("checkpoint"):
+                save_checkpoint(checkpoint_path, final, self.num_step)
+        if verbose:
+            wet = float(np.asarray(self.grid.lu).sum())
+            steps_done = self.num_step - run.init_step
+            t_step = self.timers.acc.get("model_step", 0.0)
+            pts = wet * steps_done / max(t_step, 1e-12)
+            print(self.timers.report(
+                extra={"wet_points_per_sec": f"{pts:.3e}"}))
+        return final

@@ -1,0 +1,141 @@
+"""IO (mask/GrADS/checkpoint) + top-level driver tests, including the
+Black Sea realistic-mask config (benchmark config 4)."""
+
+import os
+
+import numpy as np
+
+from ocean_model_arch_tpu.io import grads
+from ocean_model_arch_tpu.io.checkpoint import (load_checkpoint,
+                                                save_checkpoint)
+from ocean_model_arch_tpu.io.mask_io import load_mask, read_mask, write_mask
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_mask_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(12, 9) < 0.5).astype(np.int32)
+    p = tmp_path / "m.txt"
+    write_mask(str(p), mask, "test mask")
+    back = read_mask(str(p), 12, 9)
+    np.testing.assert_array_equal(mask, back)
+
+
+def test_black_sea_mask():
+    mask = load_mask("data/BS/mask_bs4km.txt", 289, 163, REPO)
+    assert mask.shape == (289, 163)
+    wet = (mask == 0).sum()
+    assert 10000 < wet < 289 * 163          # a real coastline
+    # the frame must be land for the mmm=3 convention
+    assert (mask[:2, :] == 1).all() and (mask[-2:, :] == 1).all()
+    assert (mask[:, :2] == 1).all() and (mask[:, -2:] == 1).all()
+
+
+def test_grads_record_roundtrip(tmp_path):
+    nx, ny = 20, 14
+    rng = np.random.RandomState(1)
+    lu = np.zeros((nx, ny), np.float32)
+    lu[2:-2, 2:-2] = (rng.rand(nx - 4, ny - 4) < 0.7)
+    f1 = rng.randn(nx, ny).astype(np.float64)
+    f2 = rng.randn(nx, ny).astype(np.float64)
+    p = str(tmp_path / "ssh.dat")
+    grads.write_record(p, 1, f1, lu)
+    grads.write_record(p, 2, f2, lu)
+    b1 = grads.read_record(p, 1, nx, ny)
+    b2 = grads.read_record(p, 2, nx, ny)
+    wet = lu > 0.5
+    np.testing.assert_allclose(b1[wet], f1[wet].astype(np.float32))
+    np.testing.assert_allclose(b2[wet], f2[wet].astype(np.float32))
+    assert (b1[~wet] == 0).all()
+    ctl = grads.write_ctl(p, nx=nx - 4, ny=ny - 4, nt=2, title="SSH, m",
+                          varname="ssh")
+    text = open(ctl).read()
+    assert "DSET    ^ssh.dat" in text and "VARS 1" in text
+
+
+def _run_dir(tmp_path, mask_path, nx, ny, steps_min=1.0,
+             duration_days=0.0007, mesh=None):
+    (tmp_path / "basin.par").write_text(
+        f"{nx} : nx\n{ny} : ny\n1 : nz\n0 :\n0 :\n0.05d0 :\n0.04d0 :\n"
+        "27.525d0 :\n40.940d0 :\n0 :\n0 :\n1 : curve\n0.0d0 :\n0.0d0 :\n"
+        "90.0d0 :\n60.0d0 :\n90.0d0 :\n-90.0d0 :\n"
+        f"{mask_path} : mask\nnone : topo\n")
+    (tmp_path / "sw.par").write_text(
+        "1 :\n1 :\n1 :\n0.5d0 :\n1.0d+03 :\n1 : tracers\n1 :\nnone :\n")
+    (tmp_path / "parallel.par").write_text(
+        "0 :\nnone :\n1 :\n1 :\n0 :\n0 :\nnone :\n0 :\n0 :\n")
+    (tmp_path / "ocean_run.par").write_text(
+        f"0 :\n1.0d0 : tau\n{duration_days} : days\n0 :\n2012 :\n"
+        f"{steps_min} : out min\n-1.0 :\n0 :\n0 :\nnone :\n")
+    return str(tmp_path)
+
+
+def test_driver_black_sea(tmp_path):
+    """End-to-end: Black Sea mask, spherical metrics, tracer, output +
+    checkpoint + resume."""
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    d = _run_dir(tmp_path, os.path.join(REPO, "data/BS/mask_bs4km.txt"),
+                 289, 163)
+    cfg = load_config_dir(d)
+    assert cfg.run.num_step_max == 60
+    model = OceanModel(cfg, base_dir=d)
+    ck = str(tmp_path / "ck.npz")
+    final = model.run(checkpoint_path=ck, verbose=False)
+    s = np.asarray(final.ssh)
+    assert np.isfinite(s).all()
+    # outputs written (1 initial + 1 per output minute)
+    assert os.path.exists(os.path.join(d, "RESULTS", "ssh.dat"))
+    assert os.path.exists(os.path.join(d, "RESULTS", "ssh.ctl"))
+    assert os.path.exists(os.path.join(d, "RESULTS", "hhq.dat"))
+    assert os.path.exists(os.path.join(d, "RESULTS", "ff1.dat"))
+
+    # checkpoint round-trips bit-exactly
+    st, step = load_checkpoint(ck)
+    assert step == 60
+    np.testing.assert_array_equal(np.asarray(st.ssh), s)
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    """Running 2*N steps straight == running N, checkpointing, resuming N."""
+    import dataclasses
+
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    d = _run_dir(tmp_path, "none", 40, 30, steps_min=0.5,
+                 duration_days=60.0 / 86400.0)
+    cfg = load_config_dir(d)
+    m1 = OceanModel(cfg, base_dir=d)
+    full = m1.run(verbose=False)
+
+    half = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, run_duration_days=30.0 / 86400.0))
+    m2 = OceanModel(half, base_dir=d)
+    ck = str(tmp_path / "half.npz")
+    m2.run(checkpoint_path=ck, verbose=False)
+
+    resumed_cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, start_type=1))
+    m3 = OceanModel(resumed_cfg, base_dir=d)
+    final = m3.run(checkpoint_path=ck, verbose=False)
+    np.testing.assert_allclose(np.asarray(final.ssh), np.asarray(full.ssh),
+                               rtol=0, atol=0)
+
+
+def test_driver_sharded_mesh(tmp_path):
+    """The driver on a 2x2 device mesh matches the single-device run."""
+    import dataclasses
+
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    d = _run_dir(tmp_path, "none", 40, 30, steps_min=0.5,
+                 duration_days=60.0 / 86400.0)
+    cfg = load_config_dir(d)
+    ref = OceanModel(cfg, base_dir=d).run(verbose=False)
+
+    cfg2 = dataclasses.replace(
+        cfg, parallel=dataclasses.replace(cfg.parallel, mesh_x=2, mesh_y=2))
+    out = OceanModel(cfg2, base_dir=d).run(verbose=False)
+    np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh),
+                               rtol=0, atol=1e-12)
