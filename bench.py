@@ -10,11 +10,16 @@ Prints ONE JSON line:
   {"metric": "sw_step_points_per_sec_per_chip", "value": N,
    "unit": "points/s", "vs_baseline": F}
 
+Fast path: the fused Pallas whole-step kernel (ops/pallas/fused_step.py)
+carrying only the 6 prognostic fields — depths and staggered masks are
+recomputed in VMEM (HBM traffic = 14 f32 passes/point/step). Falls back to
+the general jnp composition when the config is outside the fused
+envelope.
+
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
-reports the achieved fraction of the HBM-bandwidth roofline (speed of
-light for this memory-bound stencil step): traffic model ~58 f32
-array-passes per step per point (unique reads+writes over the 11-kernel
-sequence after fusion of pointwise stages), v5e HBM ~ 819 GB/s.
+reports the achieved fraction of the fused step's HBM-bandwidth roofline
+(speed of light for this memory-bound stencil: 14 passes * 4 B at v5e
+~819 GB/s -> 14.6 Gpts/s); the step is currently VPU-bound, not HBM-bound.
 """
 
 import json
@@ -33,6 +38,9 @@ def main():
     from ocean_model_arch_tpu.model.init import init_ocean_state
     from ocean_model_arch_tpu.model.step import make_step, run_steps
 
+    from ocean_model_arch_tpu.model.fused import (FusedSWModel,
+                                                  fused_available)
+
     basin = basinpar_as250m_test()
     prec = Precision.f32()
     cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
@@ -40,32 +48,42 @@ def main():
     grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
                       precision=prec)
     state = init_ocean_state(grid, cfg)
-    step = make_step(grid, cfg)
 
     n_inner = 50
+    if fused_available(grid, cfg):
+        fm = FusedSWModel(grid, cfg, 1.0, tx=64)
+        carry = fm.pack(state)
 
-    def run(st):
-        return run_steps(step, st, np.float32(1.0), n_inner)
+        @jax.jit
+        def run_j(s6):
+            return fm.run_steps(s6, n_inner)
+    else:
+        step = make_step(grid, cfg)
 
-    run_j = jax.jit(run)
+        @jax.jit
+        def run_j(st):
+            return run_steps(step, st, np.float32(1.0), n_inner)
+        carry = state
+
     # warmup + compile
-    st, ok = run_j(state)
-    jax.block_until_ready(st.ssh)
+    carry, ok = run_j(carry)
+    jax.block_until_ready(ok)
     assert bool(ok), "stability guard tripped in benchmark"
 
     reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
-        st, ok = run_j(st)
-    jax.block_until_ready(st.ssh)
+        carry, ok = run_j(carry)
+    jax.block_until_ready(ok)
     dt = time.perf_counter() - t0
 
     steps = n_inner * reps
     points = basin.nx * basin.ny
     pts_per_s = points * steps / dt
 
-    # HBM roofline: ~58 f32 passes/point/step; v5e ~819 GB/s
-    sol = 819e9 / (58 * 4)
+    # HBM roofline of the fused step: 6 prognostic reads + 2 static reads
+    # + 6 writes = 14 f32 passes/point/step; v5e ~819 GB/s
+    sol = 819e9 / (14 * 4)
     out = {
         "metric": "sw_step_points_per_sec_per_chip",
         "value": round(pts_per_s, 1),

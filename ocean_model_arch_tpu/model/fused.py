@@ -1,0 +1,113 @@
+"""Driver for the fused Pallas whole-step kernel (production fast path).
+
+Wraps ops/pallas/fused_step.py with layout embedding, precondition checks
+(falls back to the general jnp path when unsupported), scan-based multi-
+step running, and SWState conversion so outputs/checkpoints stay
+interchangeable with the reference formats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..core.grid import Grid
+from ..core.state import SWState
+from ..ops.pallas import fused_step as fsk
+from ..ops import sw_kernels as swk
+from .init import init_ocean_state
+from .step import GlobalHalo
+
+
+class FusedSWModel:
+    """Shallow-water core on the fused kernel. Carries only the 6
+    prognostic fields; depths/masks are recomputed in-kernel."""
+
+    def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
+                 tx: int = 64, interpret: bool = False):
+        if grid.periodic_x or grid.periodic_y:
+            raise ValueError("fused path: periodic boundaries unsupported")
+        if cfg.sw.use_tracers > 0:
+            raise ValueError("fused path: tracers not fused yet")
+        self.grid = grid
+        self.cfg = cfg
+        self.tau = float(tau)
+        self.lay = fsk.make_layout(grid.nx, grid.ny, tx)
+        met = fsk.metrics_profile_from_grid(grid, self.lay)  # raises if 2D
+        lu_s = np.zeros((self.lay.Xs, self.lay.Ys), np.float32)
+        lu_s[fsk.MARGIN:fsk.MARGIN + grid.nx,
+             fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.lu)
+        hr_s = np.zeros_like(lu_s)
+        hr_s[fsk.MARGIN:fsk.MARGIN + grid.nx,
+             fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.hhq_rest)
+        # mu is spatially constant in the reference (init quirk zeroes it)
+        self.mu_const = 0.0
+        self.step6 = fsk.build_fused_sw_step(
+            self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
+            cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
+            self.mu_const, interpret=interpret)
+        self._lu_s = jnp.asarray(lu_s)
+
+    # -- state conversion ------------------------------------------------
+    def pack(self, state: SWState):
+        """SWState -> 6-tuple in fused layout."""
+        mu = np.asarray(state.mu)
+        if mu.size and not np.all(mu == mu.flat[0]):
+            raise ValueError("fused path requires spatially-constant mu")
+        e = lambda a: fsk.embed(self.lay, a)
+        return (e(state.ssh), e(state.sshp), e(state.ubrtr),
+                e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp))
+
+    def unpack(self, s6, template: SWState) -> SWState:
+        """6-tuple -> full SWState; depth families + 'n' levels are
+        regenerated with the jnp kernels so the result matches the general
+        path's state layout (for output / checkpoint / tracer coupling)."""
+        x = lambda a: fsk.extract(self.lay, a).astype(
+            template.ssh.dtype)
+        ssh, sshp, u, up, v, vp = (x(a) for a in s6)
+        st = dataclasses.replace(template, ssh=ssh, sshp=sshp, ubrtr=u,
+                                 ubrtrp=up, vbrtr=v, vbrtrp=vp)
+        # regenerate depths exactly as the end-of-step hh_init would
+        from ..ops import depth_kernels as dk
+        hp = GlobalHalo()
+        ex, zp = hp.ex, hp.zp
+        g = self.grid
+        (hq, hqp, hqn, hu, hup, hun, hv, hvp, hvn, hh, hhp, hhn) = dk.hh_init(
+            self.cfg.sw.full_free_surface, ex(g.lu), zp(g.llu), zp(g.llv),
+            zp(g.luh), ex(g.dx), ex(g.dy), zp(g.dxt), zp(g.dyt),
+            zp(g.dxh), zp(g.dyh), zp(g.dxb), zp(g.dyb),
+            ex(ssh), ex(sshp), ex(g.hhq_rest),
+            zp(st.hhu), zp(st.hhu_p), zp(st.hhu_n),
+            zp(st.hhv), zp(st.hhv_p), zp(st.hhv_n),
+            zp(st.hhh), zp(st.hhh_p), zp(st.hhh_n))
+        return dataclasses.replace(
+            st, hhq=hq, hhq_p=hqp, hhq_n=hqn, hhu=hu, hhu_p=hup, hhu_n=hun,
+            hhv=hv, hhv_p=hvp, hhv_n=hvn, hhh=hh, hhh_p=hhp, hhh_n=hhn)
+
+    # -- running ---------------------------------------------------------
+    def run_steps(self, s6, n_steps: int):
+        """Scan the fused step; returns (s6', ok) — ok is the stability
+        guard on the final ssh (check_ssh_err analog)."""
+        def body(c, _):
+            return self.step6(*c), None
+
+        s6, _ = jax.lax.scan(body, tuple(s6), None, length=n_steps)
+        ok = swk.check_ssh_ok(jnp.pad(self._lu_s, 2), jnp.pad(s6[0], 2))
+        return s6, ok
+
+
+def fused_available(grid: Grid, cfg: ModelConfig) -> bool:
+    """Whether the fused fast path supports this configuration."""
+    if grid.periodic_x or grid.periodic_y or cfg.sw.use_tracers > 0:
+        return False
+    try:
+        lay = fsk.make_layout(grid.nx, grid.ny)
+        fsk.metrics_profile_from_grid(grid, lay)
+        return True
+    except ValueError:
+        return False

@@ -1,0 +1,392 @@
+"""Fused whole-step Pallas TPU kernel for the shallow-water core.
+
+This is the TPU-native analog of the reference's CUDA Fortran kernel layer
+(gpu/kernel/*, gpu/interface/*) — but instead of mirroring the 11 separate
+kernels, it exploits two structural facts the reference cannot:
+
+1. **Depths are recomputable.** Because expl_shallow_water ends every step
+   with hh_init (shallow_water.f90:82-87), every depth field entering a
+   step is a pure function of (ssh, sshp, hhq_rest). The fused kernel
+   recomputes them in VMEM instead of streaming 12 depth arrays through
+   HBM — trading free VPU FLOPs for scarce HBM bandwidth. Likewise the
+   staggered masks are recomputed from ``lu``, and hh_update's new-level
+   depths coincide with the current-level ones (hqn = h_r + ssh = hq when
+   full_free_surface=1), so one interpolation family serves both.
+
+2. **The whole step fuses.** The total stencil reach of one step is <= 4
+   cells, so a tile with an 8-cell x-halo computes the entire
+   update_ssh -> hh_update -> vort -> uv_trans -> stress -> uv_diff2 ->
+   update_uv -> next_step chain for its interior in one pass:
+   6 prognostic reads + 2 static reads + 6 writes per point per step.
+
+Layout: arrays are (Xs, Ys) float32 where Xs = margin + X + margin
+(margin = 8 rows of land so halo windows never leave the array — Mosaic
+element windows reject low padding) and Ys = ny + 4 extra land columns
+(y-shifts are lane rolls; wrapped values land on land cells only).
+Tiles are x-strips: Element windows (TX + 16, Ys) overlapping by the
+margin, outputs (TX, Ys) disjoint. Metric fields must be x-uniform
+(regular x spacing — true for every reference config with xgr_type=0);
+they ride as (16, Ys) latitude profiles broadcast across rows.
+
+Restrictions vs the jnp path (which remains the general fallback):
+non-periodic boundaries, x-uniform metrics, spatially-constant mu,
+r_diss = 0 (the reference never writes it, core/data_types zero-init).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.constants import FREE_FALL_ACC
+
+MARGIN = 8          # x margin rows (= max halo; 8-aligned window starts)
+YPAD = 2            # extra land columns each side in y
+
+
+class FusedLayout(NamedTuple):
+    nx: int          # physical extents
+    ny: int
+    X: int           # domain rows (multiple of tile)
+    Xs: int          # stored rows = X + 2*MARGIN
+    Ys: int          # stored cols = ny + 2*YPAD
+    tx: int          # tile rows
+
+
+def make_layout(nx: int, ny: int, tx: int = 64) -> FusedLayout:
+    X = -(-nx // tx) * tx
+    return FusedLayout(nx, ny, X, X + 2 * MARGIN, ny + 2 * YPAD, tx)
+
+
+def embed(lay: FusedLayout, a) -> jnp.ndarray:
+    """Place an (nx, ny) field into the fused (Xs, Ys) layout (zeros
+    elsewhere — land)."""
+    out = jnp.zeros((lay.Xs, lay.Ys), jnp.float32)
+    return out.at[MARGIN:MARGIN + lay.nx,
+                  YPAD:YPAD + lay.ny].set(jnp.asarray(a, jnp.float32))
+
+
+def extract(lay: FusedLayout, a) -> jnp.ndarray:
+    """Crop back to the physical (nx, ny) extents."""
+    return a[MARGIN:MARGIN + lay.nx, YPAD:YPAD + lay.ny]
+
+
+def _roll_y(a, dn: int, ys: int):
+    """result[m, n] = a[m, n + dn] (lane roll; wrap hits land columns)."""
+    if dn == 0:
+        return a
+    return pltpu.roll(a, (-dn) % ys, 1)
+
+
+def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
+                 ffs: int, trans: int, ksw: int, mu_const: float):
+    M = MARGIN
+    Ys = lay.Ys
+    g = float(FREE_FALL_ACC)
+    ts = float(time_smooth)
+
+    def sl(a, h_in, h_out, dm=0, dn=0):
+        """Shifted view: halo h_in -> h_out, offset (dm, dn)."""
+        off = h_in - h_out + dm
+        rows = a.shape[0] - 2 * h_in + 2 * h_out
+        out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
+        return _roll_y(out, dn, Ys)
+
+    def kernel(lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
+               vp_ref, met_ref, ssh_o, sshp_o, u_o, up_o, v_o, vp_o):
+        lu8 = lu_ref[...]
+        hr8 = hr_ref[...]
+        ssh8 = ssh_ref[...]
+        sshp8 = sshp_ref[...]
+        u8 = u_ref[...]
+        up8 = up_ref[...]
+        v8 = v_ref[...]
+        vp8 = vp_ref[...]
+        met = met_ref[...]      # (16, Ys) latitude profiles
+
+        def mrow(k, dn=0):
+            return _roll_y(met[k:k + 1, :], dn, Ys)
+
+        dx, dy = mrow(0), mrow(1)
+        dxt, dyt = mrow(2), mrow(3)
+        dxh, dyh = mrow(4), mrow(5)
+        dxb, dyb = mrow(6), mrow(7)
+        rlh_s = mrow(8)
+
+        def LU(h, dm=0, dn=0):
+            return sl(lu8, M, h, dm, dn)
+
+        # ---- depth interpolations (hh_init/hh_update, depth.f90) ----
+        # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points.
+        def hq_at(h, src, dm=0, dn=0):
+            return sl(hr8, M, h, dm, dn) + sl(src, M, h, dm, dn) * float(ffs)
+
+        def interp_u(h, src):
+            # aq = hq*dx*dy*lu; hu = (aq + aq(+x)) / (lu+lu(+x)) / dxt / dyh
+            aq0 = hq_at(h + 1, src) * dx * dy * LU(h + 1)
+            aq = sl(aq0, h + 1, h)
+            aqp = sl(aq0, h + 1, h, 1, 0)
+            slu = LU(h) + LU(h, 1, 0)
+            w = slu > 0.5
+            return w, jnp.where(
+                w, (aq + aqp) / jnp.where(w, slu, 1.0) / dxt / dyh, 0.0)
+
+        def interp_v(h, src):
+            aq0 = hq_at(h + 1, src) * dx * dy * LU(h + 1)
+            aq = sl(aq0, h + 1, h)
+            aqp = sl(aq0, h + 1, h, 0, 1)
+            slu = LU(h) + LU(h, 0, 1)
+            w = slu > 0.5
+            return w, jnp.where(
+                w, (aq + aqp) / jnp.where(w, slu, 1.0) / dxh / dyt, 0.0)
+
+        def interp_h(h, src):
+            aq0 = hq_at(h + 1, src) * dx * dy * LU(h + 1)
+            q = [sl(aq0, h + 1, h, a, b)
+                 for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
+            slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
+            w = slu > 0.5
+            return w, jnp.where(
+                w, (q[0] + q[1] + q[2] + q[3])
+                / jnp.where(w, slu, 1.0) / dxb / dyb, 0.0)
+
+        # current-level depths (== new-level: hqn = h_r + ssh = hq)
+        _, hu2 = interp_u(2, ssh8)
+        _, hv2 = interp_v(2, ssh8)
+        _, hh2 = interp_h(2, ssh8)
+        # previous-level depths (pointwise consumers only)
+        _, hup0 = interp_u(0, sshp8)
+        _, hvp0 = interp_v(0, sshp8)
+
+        # ---- continuity: sshn (sw_update_ssh_kernel) ----
+        uflux1 = sl(u8, M, 1) * sl(hu2, 2, 1) * dyh
+        vflux1 = sl(v8, M, 1) * sl(hv2, 2, 1) * dxh
+        wlu0 = LU(0) > 0.5
+        div0 = (sl(uflux1, 1, 0) - sl(uflux1, 1, 0, -1, 0)
+                + sl(vflux1, 1, 0) - sl(vflux1, 1, 0, 0, -1)) / (dx * dy)
+        sshn0 = jnp.where(wlu0, sl(sshp8, M, 0) + 2.0 * tau * (-div0), 0.0)
+
+        # ---- momentum advection (uv_trans_vort + uv_trans) ----
+        if trans:
+            wluu1 = (LU(1) * LU(1, 1, 0) * LU(1, 0, 1) * LU(1, 1, 1)) > 0.5
+            vd_t = sl(v8, M, 2) * dyt          # v*dyt at h2
+            ud_t = sl(u8, M, 2) * dxt
+            vort1 = jnp.where(
+                wluu1,
+                (sl(vd_t, 2, 1, 1, 0) - sl(vd_t, 2, 1))
+                - (sl(ud_t, 2, 1, 0, 1) - sl(ud_t, 2, 1))
+                - ((sl(v8, M, 1, 1, 0) - sl(v8, M, 1)) * dyb
+                   - (sl(u8, M, 1, 0, 1) - sl(u8, M, 1)) * dxb), 0.0)
+
+            ud2 = sl(u8, M, 2) * dyh * sl(hu2, 2, 2)   # u*dyh*hu
+            vd2 = sl(v8, M, 2) * dxh * sl(hv2, 2, 2)
+            vorth1 = vort1 * sl(hh2, 2, 1)
+            luu1f = jnp.where(wluu1, 1.0, 0.0)
+
+            wlcu0 = (LU(0) * LU(0, 1, 0)) > 0.5
+            wlcv0 = (LU(0) * LU(0, 0, 1)) > 0.5
+            u_c = sl(u8, M, 1)
+            v_c = sl(v8, M, 1)
+
+            fx_p = (sl(ud2, 2, 0) + sl(ud2, 2, 0, 1, 0)) / 2.0 \
+                * (sl(u_c, 1, 0) + sl(u_c, 1, 0, 1, 0)) / 2.0
+            fx_m = (sl(ud2, 2, 0) + sl(ud2, 2, 0, -1, 0)) / 2.0 \
+                * (sl(u_c, 1, 0) + sl(u_c, 1, 0, -1, 0)) / 2.0
+            fy_p = (sl(vd2, 2, 0) + sl(vd2, 2, 0, 1, 0)) / 2.0 \
+                * (sl(u_c, 1, 0, 0, 1) + sl(u_c, 1, 0)) / 2.0 \
+                * sl(luu1f, 1, 0)
+            fy_m = (sl(vd2, 2, 0, 0, -1) + sl(vd2, 2, 0, 1, -1)) / 2.0 \
+                * (sl(u_c, 1, 0, 0, -1) + sl(u_c, 1, 0)) / 2.0 \
+                * sl(luu1f, 1, 0, 0, -1)
+            rx_adv0 = jnp.where(
+                wlcu0,
+                -(fx_p - fx_m + fy_p - fy_m)
+                + (sl(vorth1, 1, 0) * (sl(v_c, 1, 0, 1, 0) + sl(v_c, 1, 0))
+                   + sl(vorth1, 1, 0, 0, -1)
+                   * (sl(v_c, 1, 0, 1, -1) + sl(v_c, 1, 0, 0, -1))) / 4.0,
+                0.0)
+
+            gy_p = (sl(vd2, 2, 0) + sl(vd2, 2, 0, 0, 1)) / 2.0 \
+                * (sl(v_c, 1, 0) + sl(v_c, 1, 0, 0, 1)) / 2.0
+            gy_m = (sl(vd2, 2, 0) + sl(vd2, 2, 0, 0, -1)) / 2.0 \
+                * (sl(v_c, 1, 0) + sl(v_c, 1, 0, 0, -1)) / 2.0
+            gx_p = (sl(ud2, 2, 0) + sl(ud2, 2, 0, 0, 1)) / 2.0 \
+                * (sl(v_c, 1, 0, 1, 0) + sl(v_c, 1, 0)) / 2.0
+            gx_m = (sl(ud2, 2, 0, -1, 0) + sl(ud2, 2, 0, -1, 1)) / 2.0 \
+                * (sl(v_c, 1, 0, -1, 0) + sl(v_c, 1, 0)) / 2.0
+            ry_adv0 = jnp.where(
+                wlcv0,
+                -(gx_p - gx_m + gy_p - gy_m)
+                - (sl(vorth1, 1, 0) * (sl(u_c, 1, 0, 0, 1) + sl(u_c, 1, 0))
+                   + sl(vorth1, 1, 0, -1, 0)
+                   * (sl(u_c, 1, 0, -1, 1) + sl(u_c, 1, 0, -1, 0))) / 4.0,
+                0.0)
+        else:
+            rx_adv0 = 0.0
+            ry_adv0 = 0.0
+
+        # ---- lateral viscosity (stress_components + uv_diff2) ----
+        if ksw and mu_const != 0.0:
+            wlu1 = LU(1) > 0.5
+            wluu1v = (LU(1) * LU(1, 1, 0) * LU(1, 0, 1) * LU(1, 1, 1)) > 0.5
+            q2 = sl(up8, M, 2) / dyh
+            r2 = sl(vp8, M, 2) / dxh
+            str_t1 = jnp.where(
+                wlu1,
+                dy / dx * (sl(q2, 2, 1) - sl(q2, 2, 1, -1, 0))
+                - dx / dy * (sl(r2, 2, 1) - sl(r2, 2, 1, 0, -1)), 0.0)
+            s1 = sl(up8, M, 2) / dxt
+            s2 = sl(vp8, M, 2) / dyt
+            str_s1 = jnp.where(
+                wluu1v,
+                dxb / dyb * (sl(s1, 2, 1, 0, 1) - sl(s1, 2, 1))
+                + dyb / dxb * (sl(s2, 2, 1, 1, 0) - sl(s2, 2, 1)), 0.0)
+
+            hq1 = hq_at(1, ssh8)
+            a1 = (dy * dy) * mu_const * hq1 * str_t1
+            b1 = (dx * dx) * mu_const * hq1 * str_t1
+            wlcu0d = (LU(0) * LU(0, 1, 0)) > 0.5
+            wlcv0d = (LU(0) * LU(0, 0, 1)) > 0.5
+            rx_dif0 = jnp.where(
+                wlcu0d,
+                (sl(a1, 1, 0, 1, 0) - sl(a1, 1, 0)) / dyh
+                + (dxb * dxb * mu_const * sl(hh2, 2, 0) * sl(str_s1, 1, 0)
+                   - _roll_y(dxb * dxb, -1, Ys) * mu_const
+                   * sl(hh2, 2, 0, 0, -1) * sl(str_s1, 1, 0, 0, -1)) / dxt,
+                0.0)
+            ry_dif0 = jnp.where(
+                wlcv0d,
+                -(sl(b1, 1, 0, 0, 1) - sl(b1, 1, 0)) / dxh
+                + (dyb * dyb * mu_const * sl(hh2, 2, 0) * sl(str_s1, 1, 0)
+                   - dyb * dyb * mu_const
+                   * sl(hh2, 2, 0, -1, 0) * sl(str_s1, 1, 0, -1, 0)) / dyt,
+                0.0)
+        else:
+            rx_dif0 = 0.0
+            ry_dif0 = 0.0
+
+        # ---- momentum update (sw_update_uv) ----
+        wlcu0m = (LU(0) * LU(0, 1, 0)) > 0.5
+        wlcv0m = (LU(0) * LU(0, 0, 1)) > 0.5
+        hu0 = sl(hu2, 2, 0)
+        hv0 = sl(hv2, 2, 0)
+        corio1 = rlh_s * sl(hh2, 2, 1) * dxb * dyb
+        ssh_c = sl(ssh8, M, 1)
+        u_c1 = sl(u8, M, 1)
+        v_c1 = sl(v8, M, 1)
+        up0 = sl(up8, M, 0)
+        vp0 = sl(vp8, M, 0)
+
+        bp_u = hu0 * dxt * dyh / 2.0 / tau      # hhun == hhu (see docstring)
+        bp0_u = hup0 * dxt * dyh / 2.0 / tau
+        slx = -g * (sl(ssh_c, 1, 0, 1, 0) - sl(ssh_c, 1, 0)) * dyh * hu0
+        grx = (slx + rx_dif0 + rx_adv0
+               + (sl(corio1, 1, 0) * (sl(v_c1, 1, 0, 1, 0) + sl(v_c1, 1, 0))
+                  + sl(corio1, 1, 0, 0, -1)
+                  * (sl(v_c1, 1, 0, 1, -1) + sl(v_c1, 1, 0, 0, -1))) / 4.0)
+        un0 = jnp.where(
+            wlcu0m, (up0 * bp0_u + grx) / jnp.where(wlcu0m, bp_u, 1.0), 0.0)
+
+        bp_v = hv0 * dyt * dxh / 2.0 / tau
+        bp0_v = hvp0 * dyt * dxh / 2.0 / tau
+        sly = -g * (sl(ssh_c, 1, 0, 0, 1) - sl(ssh_c, 1, 0)) * dxh * hv0
+        gry = (sly + ry_dif0 + ry_adv0
+               - (sl(corio1, 1, 0) * (sl(u_c1, 1, 0, 0, 1) + sl(u_c1, 1, 0))
+                  + sl(corio1, 1, 0, -1, 0)
+                  * (sl(u_c1, 1, 0, -1, 1) + sl(u_c1, 1, 0, -1, 0))) / 4.0)
+        vn0 = jnp.where(
+            wlcv0m, (vp0 * bp0_v + gry) / jnp.where(wlcv0m, bp_v, 1.0), 0.0)
+
+        # ---- leapfrog rotation + Robert-Asselin filter (sw_next_step) ----
+        ssh0 = sl(ssh8, M, 0)
+        sshp0 = sl(sshp8, M, 0)
+        u0 = sl(u8, M, 0)
+        v0 = sl(v8, M, 0)
+
+        ssh_o[...] = jnp.where(wlu0, sshn0, ssh0)
+        sshp_o[...] = jnp.where(
+            wlu0, ssh0 + ts * (sshn0 - 2.0 * ssh0 + sshp0) / 2.0, sshp0)
+        u_o[...] = jnp.where(wlcu0m, un0, u0)
+        up_o[...] = jnp.where(
+            wlcu0m, u0 + ts * (un0 - 2.0 * u0 + up0) / 2.0, up0)
+        v_o[...] = jnp.where(wlcv0m, vn0, v0)
+        vp_o[...] = jnp.where(
+            wlcv0m, v0 + ts * (vn0 - 2.0 * v0 + vp0) / 2.0, vp0)
+
+    return kernel
+
+
+def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
+                        tau: float, time_smooth: float, ffs: int,
+                        trans: int, ksw: int, mu_const: float = 0.0,
+                        interpret: bool = False):
+    """Returns ``step6(ssh, sshp, u, up, v, vp) -> same 6-tuple`` on fused-
+    layout arrays. All static fields are captured as constants.
+
+    ``metrics_profile``: (16, Ys) float32 rows =
+    [dx, dy, dxt, dyt, dxh, dyh, dxb, dyb, rlh_s, 0...] latitude profiles.
+    """
+    M = MARGIN
+    tx = lay.tx
+    kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const)
+
+    n_tiles = lay.X // tx
+
+    def in_spec():
+        return pl.BlockSpec(
+            (pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
+            lambda i: (pl.multiple_of(i * tx, 8), 0),
+            memory_space=pltpu.VMEM)
+
+    def out_spec():
+        return pl.BlockSpec(
+            (pl.Element(tx), pl.Element(lay.Ys)),
+            lambda i: (pl.multiple_of(i * tx + M, 8), 0),
+            memory_space=pltpu.VMEM)
+
+    met_spec = pl.BlockSpec(
+        (pl.Element(16), pl.Element(lay.Ys)),
+        lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
+
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[in_spec() for _ in range(8)] + [met_spec],
+        out_specs=[out_spec() for _ in range(6)],
+        out_shape=[shape] * 6,
+        interpret=interpret,
+    )
+
+    lu_s = jnp.asarray(lu_s, jnp.float32)
+    hr_s = jnp.asarray(hhq_rest_s, jnp.float32)
+    met = jnp.asarray(metrics_profile, jnp.float32)
+
+    def step6(ssh, sshp, u, up, v, vp):
+        return tuple(call(lu_s, hr_s, ssh, sshp, u, up, v, vp, met))
+
+    return step6
+
+
+def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
+    """Extract the (16, Ys) latitude profiles from a Grid; raises if any
+    metric is not x-uniform (then use the jnp path)."""
+    rows = np.zeros((16, lay.Ys), np.float32)
+    names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb", "rlh_s"]
+    for k, name in enumerate(names):
+        f = np.asarray(getattr(grid, name))
+        if not np.allclose(f, f[:1, :], rtol=0, atol=0):
+            raise ValueError(f"metric {name} is not x-uniform; "
+                             "fused path unsupported (use jnp step)")
+        rows[k, YPAD:YPAD + lay.ny] = f[0, :]
+        # extend profiles into the y land margin so divisions stay finite
+        rows[k, :YPAD] = f[0, 0]
+        rows[k, YPAD + lay.ny:] = f[0, -1]
+    return rows

@@ -1,0 +1,78 @@
+"""Fused Pallas whole-step kernel vs the general jnp path (interpret mode
+on CPU; the same comparison runs compiled on real TPU in bench.py)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from ocean_model_arch_tpu.config import (ModelConfig, Precision, SWConfig,
+                                         basinpar_flat)
+from ocean_model_arch_tpu.core.grid import build_grid
+from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+from ocean_model_arch_tpu.model.fused import FusedSWModel, fused_available
+from ocean_model_arch_tpu.model.init import init_ocean_state
+from ocean_model_arch_tpu.model.step import make_step, run_steps
+
+
+def _case(curve_grid, with_islands, nx=70, ny=52):
+    basin = basinpar_flat(nx, ny, curve_grid=curve_grid,
+                          rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    mask = frame_of_land_mask(nx, ny)
+    if with_islands:
+        rng = np.random.RandomState(3)
+        mask[2:-2, 2:-2] |= (rng.rand(nx - 4, ny - 4) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    return grid, cfg, state
+
+
+@pytest.mark.parametrize("curve_grid,with_islands",
+                         [(0, False), (1, True), (1, False)])
+def test_fused_matches_jnp(curve_grid, with_islands):
+    grid, cfg, state = _case(curve_grid, with_islands)
+    step = jax.jit(make_step(grid, cfg))
+    ref, ok = run_steps(step, state, np.float32(1.0), 30)
+    assert bool(ok)
+
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
+    s6 = fm.pack(state)
+    s6, ok2 = jax.jit(lambda s: fm.run_steps(s, 30))(s6)
+    assert bool(ok2)
+    out = fm.unpack(s6, state)
+    for name in ("ssh", "sshp", "ubrtr", "vbrtr", "ubrtrp", "vbrtrp",
+                 "hhu", "hhv", "hhh", "hhq"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
+
+
+def test_fused_availability_checks():
+    grid, cfg, state = _case(1, False)
+    assert fused_available(grid, cfg)
+    # tracers -> unsupported
+    cfg_tr = dataclasses.replace(cfg, sw=SWConfig(use_tracers=1))
+    assert not fused_available(grid, cfg_tr)
+    # periodic -> unsupported
+    grid_p = dataclasses.replace(grid, periodic_x=True)
+    assert not fused_available(grid_p, cfg)
+    # bipolar (x-varying metrics) -> unsupported
+    basin2 = basinpar_flat(40, 36, curve_grid=2)
+    grid2 = build_grid(basin2, frame_of_land_mask(40, 36),
+                      precision=Precision.f32())
+    assert not fused_available(grid2, cfg)
+
+
+def test_fused_guard_trips():
+    grid, cfg, state = _case(1, False)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
+    bad = dataclasses.replace(state,
+                              sshp=state.sshp.at[30, 30].set(2.0e4))
+    s6 = fm.pack(bad)
+    _, ok = fm.run_steps(s6, 1)
+    assert not bool(ok)
