@@ -365,12 +365,19 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         interpret=interpret,
     )
 
-    lu_s = jnp.asarray(lu_s, jnp.float32)
-    hr_s = jnp.asarray(hhq_rest_s, jnp.float32)
+    if lu_s is None:
+        # raw form: statics supplied per call (used by the sharded driver,
+        # where each shard carries its own margined lu/h_r slices)
+        def step6_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp):
+            return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp, met_a))
+        return step6_raw
+
+    lu_c = jnp.asarray(lu_s, jnp.float32)
+    hr_c = jnp.asarray(hhq_rest_s, jnp.float32)
     met = jnp.asarray(metrics_profile, jnp.float32)
 
     def step6(ssh, sshp, u, up, v, vp):
-        return tuple(call(lu_s, hr_s, ssh, sshp, u, up, v, vp, met))
+        return tuple(call(lu_c, hr_c, ssh, sshp, u, up, v, vp, met))
 
     return step6
 
