@@ -29,7 +29,13 @@ def interior(field: np.ndarray) -> np.ndarray:
 def write_record(path: str, nrec: int, field: np.ndarray,
                  lu: np.ndarray) -> None:
     """Write record ``nrec`` (1-based) of the interior of ``field`` as raw
-    float32, undef on land. Creates/extends the file as needed."""
+    float32, undef on land. Creates/extends the file as needed.
+
+    Uses the native C++ pack+pwrite path (io/native.py) when available."""
+    from . import native
+    if native.write_record(path, nrec, np.asarray(field),
+                           np.asarray(lu), float(UNDEF)):
+        return
     data = interior(np.asarray(field)).astype(np.float32)
     wet = interior(np.asarray(lu)) > 0.5
     data = np.where(wet, data, UNDEF)

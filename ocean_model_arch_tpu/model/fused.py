@@ -54,11 +54,16 @@ class FusedSWModel:
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------
-    def pack(self, state: SWState):
-        """SWState -> 6-tuple in fused layout."""
+    def validate_state(self, state: SWState) -> None:
+        """Eager-mode precondition check (pack itself is jit-safe)."""
         mu = np.asarray(state.mu)
         if mu.size and not np.all(mu == mu.flat[0]):
             raise ValueError("fused path requires spatially-constant mu")
+        if mu.size and float(mu.flat[0]) != self.mu_const:
+            raise ValueError("state.mu does not match kernel mu_const")
+
+    def pack(self, state: SWState):
+        """SWState -> 6-tuple in fused layout (jit-safe)."""
         e = lambda a: fsk.embed(self.lay, a)
         return (e(state.ssh), e(state.sshp), e(state.ubrtr),
                 e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp))

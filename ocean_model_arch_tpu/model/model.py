@@ -87,6 +87,16 @@ class OceanModel:
                                                   self.mesh)
 
     # ------------------------------------------------------------------
+    def _use_fused(self) -> bool:
+        """The fused Pallas fast path applies to f32 single-device runs of
+        supported configs (use_fused config knob can force it off)."""
+        from .fused import fused_available
+        on_tpu = jax.devices()[0].platform != "cpu"
+        return (on_tpu
+                and self.mesh is None
+                and self.cfg.precision.state_dtype == np.float32
+                and fused_available(self.grid, self.cfg))
+
     def _make_runner(self, n_inner: int):
         tau = self.cfg.run.tau
         if self.mesh is not None:
@@ -94,6 +104,17 @@ class OceanModel:
                                       n_inner=n_inner)
             def runner(st):
                 return stepn(st, tau)
+            return runner
+        if self._use_fused():
+            from .fused import FusedSWModel
+            if not hasattr(self, "_fused"):
+                self._fused = FusedSWModel(self.grid, self.cfg, tau)
+
+            @jax.jit
+            def runner(st):
+                s6 = self._fused.pack(st)
+                s6, ok = self._fused.run_steps(s6, n_inner)
+                return self._fused.unpack(s6, st), ok
             return runner
         step = make_step(self.grid, self.cfg)
 

@@ -1,0 +1,225 @@
+"""Weighted block decomposition + load-balance diagnostics.
+
+On homogeneous TPU meshes XLA owns intra-chip parallelism, so the
+reference's block machinery (core/decomposition.f90) survives here as the
+*accounting* layer it always implicitly was:
+
+- wet-point block weights from the land mask (bglob_weight,
+  decomposition.f90:505-515), land-block elision (rank -1, :578);
+- uniform block->device tiling (create_uniform_decomposition, :614-669)
+  and Hilbert-curve greedy weighted packing
+  (create_hilbert_curve_decomposition, :532-612) with per-device
+  compute-power scaling — used to choose shard cut lines and to report
+  the balance quality of any mesh split;
+- the load-balance ratio max/mean weight printed by the reference
+  (decomposition.f90:938-940) and the decomposition.txt dump (:895-909).
+
+The dynamic-load-balance loop (control/preprocess.f90) appears as
+:func:`rebalance_powers`: measured per-device throughputs feed back into
+the weighted packing exactly like the reference's compute_power pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve (shared/mpp/hilbert_curve.f90) — standard d<->(x,y) walk
+# --------------------------------------------------------------------------
+
+def hilbert_d2xy(order: int, d: int) -> tuple[int, int]:
+    """Distance along the order-n Hilbert curve -> (x, y); n = 2**order."""
+    n = 1 << order
+    x = y = 0
+    t = d
+    s = 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        # rotate quadrant
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def hilbert_xy2d(order: int, x: int, y: int) -> int:
+    """(x, y) -> distance along the order-n Hilbert curve."""
+    n = 1 << order
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+# --------------------------------------------------------------------------
+# Block weights
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BlockDecomposition:
+    bnx: int
+    bny: int
+    weights: np.ndarray        # (bnx, bny) wet-point counts
+    owner: np.ndarray          # (bnx, bny) device id, -1 for land blocks
+    x_edges: np.ndarray        # block boundaries in x (len bnx+1)
+    y_edges: np.ndarray
+
+    @property
+    def n_land_blocks(self) -> int:
+        return int((self.weights == 0).sum())
+
+    def device_weights(self, n_dev: int) -> np.ndarray:
+        w = np.zeros(n_dev)
+        for b in range(self.bnx * self.bny):
+            o = self.owner.flat[b]
+            if o >= 0:
+                w[o] += self.weights.flat[b]
+        return w
+
+    def balance_ratio(self, n_dev: int,
+                      compute_powers=None) -> float:
+        """max device weight / mean device weight (decomposition.f90:938);
+        with compute powers, weights are scaled by 1/power first."""
+        w = self.device_weights(n_dev)
+        if compute_powers is not None:
+            w = w / np.asarray(compute_powers)
+        m = w.mean()
+        return float(w.max() / m) if m > 0 else float("inf")
+
+
+def block_weights(int_mask: np.ndarray, bnx: int, bny: int,
+                  binary: bool = False) -> BlockDecomposition:
+    """Split the significant interior into bnx x bny blocks and count
+    wet points per block (block_uniform_decomposition,
+    decomposition.f90:427-531). ``binary``: weight 1 for any-wet blocks
+    (_DD_BINARY_BLOCK_WEIGHTS_, :508-512)."""
+    nx, ny = int_mask.shape
+    ix = np.linspace(2, nx - 2, bnx + 1).astype(int)   # interior [2, nx-2)
+    iy = np.linspace(2, ny - 2, bny + 1).astype(int)
+    wet = (int_mask == 0)
+    w = np.zeros((bnx, bny), np.int64)
+    for i in range(bnx):
+        for j in range(bny):
+            w[i, j] = wet[ix[i]:ix[i + 1], iy[j]:iy[j + 1]].sum()
+    if binary:
+        w = (w > 0).astype(np.int64)
+    return BlockDecomposition(bnx, bny, w, -np.ones((bnx, bny), np.int64),
+                              ix, iy)
+
+
+# --------------------------------------------------------------------------
+# Assignments
+# --------------------------------------------------------------------------
+
+def assign_uniform(dec: BlockDecomposition, pnx: int, pny: int
+                   ) -> BlockDecomposition:
+    """Tile the block grid uniformly over a pnx x pny device grid
+    (create_uniform_decomposition, :614-669). Land blocks keep owner -1."""
+    if dec.bnx % pnx or dec.bny % pny:
+        raise ValueError("block grid not divisible by device grid")
+    fx, fy = dec.bnx // pnx, dec.bny // pny
+    owner = -np.ones((dec.bnx, dec.bny), np.int64)
+    for i in range(dec.bnx):
+        for j in range(dec.bny):
+            if dec.weights[i, j] > 0:
+                owner[i, j] = (i // fx) * pny + (j // fy)
+    return dataclasses.replace(dec, owner=owner)
+
+
+def assign_hilbert(dec: BlockDecomposition, n_dev: int,
+                   compute_powers=None) -> BlockDecomposition:
+    """Walk wet blocks in Hilbert order, greedily packing approximately
+    equal weight per device scaled by compute power
+    (create_hilbert_curve_decomposition, :532-612). Requires
+    bnx == bny == 2**k."""
+    if dec.bnx != dec.bny or (dec.bnx & (dec.bnx - 1)):
+        raise ValueError("hilbert assignment needs bnx == bny == 2**k")
+    order = int(np.log2(dec.bnx))
+    if compute_powers is None:
+        compute_powers = np.ones(n_dev)
+    powers = np.asarray(compute_powers, np.float64)
+    powers = powers / powers.sum()
+
+    total = float(dec.weights.sum())
+    owner = -np.ones((dec.bnx, dec.bny), np.int64)
+    dev = 0
+    acc = 0.0
+    target = total * powers[0]
+    for d in range(dec.bnx * dec.bny):
+        x, y = hilbert_d2xy(order, d)
+        w = float(dec.weights[x, y])
+        if w == 0:
+            continue
+        if acc + w > target * 1.0 + 1e-9 and dev < n_dev - 1 \
+                and acc > 0:
+            dev += 1
+            acc = 0.0
+            target = total * powers[dev]
+        owner[x, y] = dev
+        acc += w
+    return dataclasses.replace(dec, owner=owner)
+
+
+def rebalance_powers(dec: BlockDecomposition, n_dev: int,
+                     measured_times: np.ndarray) -> BlockDecomposition:
+    """DLB analog (control/preprocess.f90:21-100): measured per-device
+    times for the current assignment -> compute powers = weight/time,
+    normalized -> re-pack Hilbert-weighted."""
+    w = dec.device_weights(n_dev)
+    powers = np.where(np.asarray(measured_times) > 0,
+                      w / np.asarray(measured_times), 1.0)
+    powers = powers / powers.sum()
+    return assign_hilbert(dec, n_dev, powers)
+
+
+# --------------------------------------------------------------------------
+# Diagnostics
+# --------------------------------------------------------------------------
+
+def mesh_split_report(int_mask: np.ndarray, px: int, py: int) -> dict:
+    """Wet-point balance of the plain SPMD mesh split used by the sharded
+    runners — the 'effective wet-point throughput' accounting of
+    SURVEY.md §7."""
+    nx, ny = int_mask.shape
+    wet = (int_mask == 0)
+    ix = np.linspace(0, nx, px + 1).astype(int)
+    iy = np.linspace(0, ny, py + 1).astype(int)
+    w = np.array([[wet[ix[i]:ix[i + 1], iy[j]:iy[j + 1]].sum()
+                   for j in range(py)] for i in range(px)], np.float64)
+    mean = w.mean()
+    return {
+        "device_wet_points": w,
+        "balance_ratio": float(w.max() / mean) if mean > 0 else float("inf"),
+        "wet_fraction": float(wet.sum()) / (nx * ny),
+        "idle_fraction": 1.0 - float(w.sum()) / (w.size * w.max())
+        if w.max() > 0 else 0.0,
+    }
+
+
+def dump_decomposition(dec: BlockDecomposition, path: str) -> None:
+    """decomposition.txt-style dump (decomposition.f90:895-909): one line
+    per block: i j x0 x1 y0 y1 weight owner."""
+    with open(path, "w") as f:
+        f.write(f"{dec.bnx} {dec.bny}\n")
+        for i in range(dec.bnx):
+            for j in range(dec.bny):
+                f.write(f"{i} {j} {dec.x_edges[i]} {dec.x_edges[i + 1]} "
+                        f"{dec.y_edges[j]} {dec.y_edges[j + 1]} "
+                        f"{dec.weights[i, j]} {dec.owner[i, j]}\n")

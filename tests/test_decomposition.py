@@ -1,0 +1,84 @@
+"""Hilbert curve + weighted decomposition + load-balance diagnostics."""
+
+import os
+
+import numpy as np
+
+from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+from ocean_model_arch_tpu.io.mask_io import load_mask
+from ocean_model_arch_tpu.parallel import decomposition as dd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_hilbert_curve_roundtrip():
+    for order in (1, 2, 3, 5):
+        n = 1 << order
+        seen = set()
+        prev = None
+        for d in range(n * n):
+            x, y = dd.hilbert_d2xy(order, d)
+            assert 0 <= x < n and 0 <= y < n
+            assert dd.hilbert_xy2d(order, x, y) == d
+            seen.add((x, y))
+            if prev is not None:       # curve moves by one cell at a time
+                assert abs(x - prev[0]) + abs(y - prev[1]) == 1
+            prev = (x, y)
+        assert len(seen) == n * n      # space-filling
+
+
+def test_block_weights_and_land_elision():
+    mask = frame_of_land_mask(36, 36)
+    mask[2:18, 2:18] = 1               # land quadrant
+    dec = dd.block_weights(mask, 4, 4)
+    assert dec.weights.sum() == (mask == 0).sum()
+    assert dec.n_land_blocks == 4      # the all-land quadrant
+    dec = dd.assign_uniform(dec, 2, 2)
+    assert (dec.owner[dec.weights == 0] == -1).all()
+    assert set(dec.owner[dec.weights > 0]) <= {0, 1, 2, 3}
+
+
+def test_hilbert_assignment_balances_better():
+    """On a mask with very uneven water distribution, Hilbert weighted
+    packing must beat the uniform tiling's balance ratio."""
+    rng = np.random.RandomState(5)
+    mask = frame_of_land_mask(68, 68)
+    mask[2:34, 2:66] = 1                   # top half land
+    mask[34:66, 2:66] = (rng.rand(32, 64) < 0.3).astype(np.int32)
+    dec = dd.block_weights(mask, 8, 8)
+    r_uni = dd.assign_uniform(dec, 2, 2).balance_ratio(4)
+    r_hil = dd.assign_hilbert(dec, 4).balance_ratio(4)
+    assert r_hil < r_uni
+    assert r_hil < 1.5
+
+
+def test_rebalance_powers():
+    mask = frame_of_land_mask(36, 36)
+    dec = dd.block_weights(mask, 4, 4)
+    dec = dd.assign_hilbert(dec, 4)
+    w0 = dec.device_weights(4)
+    # pretend device 0 is 2x slower -> it should receive less weight
+    times = w0.copy()
+    times[0] *= 2.0
+    dec2 = dd.rebalance_powers(dec, 4, times)
+    w1 = dec2.device_weights(4)
+    assert w1[0] < w0[0]
+
+
+def test_black_sea_mesh_report():
+    mask = load_mask("data/BS/mask_bs4km.txt", 289, 163, REPO)
+    rep = dd.mesh_split_report(mask, 2, 2)
+    assert 0.0 < rep["wet_fraction"] < 1.0
+    assert rep["balance_ratio"] >= 1.0
+    # the realistic coastline is measurably imbalanced on a naive split
+    assert rep["balance_ratio"] > 1.02
+
+
+def test_dump(tmp_path):
+    mask = frame_of_land_mask(36, 36)
+    dec = dd.assign_uniform(dd.block_weights(mask, 4, 4), 2, 2)
+    p = tmp_path / "decomposition.txt"
+    dd.dump_decomposition(dec, str(p))
+    lines = p.read_text().splitlines()
+    assert lines[0] == "4 4"
+    assert len(lines) == 1 + 16
