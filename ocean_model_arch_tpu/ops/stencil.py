@@ -30,29 +30,32 @@ HALO = 2
 
 def pad(f: jax.Array, periodic_x: bool = False, periodic_y: bool = False,
         h: int = HALO) -> jax.Array:
-    """Pad a logical (nx, ny) field with an h-cell ghost frame.
+    """Pad the spatial (last two) axes with an h-cell ghost frame; leading
+    axes (e.g. the nlev dimension of 3D fields) pass through untouched.
 
     Non-periodic edges get zeros (matching the reference's zero-initialized
     block ghost frames, core/data_types.f90:517-558); periodic edges wrap.
     """
-    if periodic_x or periodic_y:
-        mode_x = "wrap" if periodic_x else "constant"
-        mode_y = "wrap" if periodic_y else "constant"
-        f = jnp.pad(f, ((h, h), (0, 0)), mode=mode_x)
-        f = jnp.pad(f, ((0, 0), (h, h)), mode=mode_y)
-        return f
-    return jnp.pad(f, h)
+    lead = [(0, 0)] * (f.ndim - 2)
+    mode_x = "wrap" if periodic_x else "constant"
+    mode_y = "wrap" if periodic_y else "constant"
+    if mode_x == mode_y:
+        return jnp.pad(f, lead + [(h, h), (h, h)], mode=mode_x)
+    f = jnp.pad(f, lead + [(h, h), (0, 0)], mode=mode_x)
+    return jnp.pad(f, lead + [(0, 0), (h, h)], mode=mode_y)
 
 
 def sh(fp: jax.Array, dm: int, dn: int, h: int = HALO) -> jax.Array:
-    """Shifted view: result[m, n] = f[m + dm, n + dn].
+    """Shifted view: result[..., m, n] = f[..., m + dm, n + dn].
 
-    ``fp`` is padded; the result is the unpadded (nx, ny) shape. ``dm``/``dn``
-    must satisfy ``|dm|, |dn| <= h``.
+    ``fp`` is padded on its last two axes; the result drops the padding.
+    ``dm``/``dn`` must satisfy ``|dm|, |dn| <= h``.
     """
-    nx = fp.shape[0] - 2 * h
-    ny = fp.shape[1] - 2 * h
-    return jax.lax.slice(fp, (h + dm, h + dn), (h + dm + nx, h + dn + ny))
+    nx = fp.shape[-2] - 2 * h
+    ny = fp.shape[-1] - 2 * h
+    start = [0] * (fp.ndim - 2) + [h + dm, h + dn]
+    limit = list(fp.shape[:-2]) + [h + dm + nx, h + dn + ny]
+    return jax.lax.slice(fp, start, limit)
 
 
 def C(fp: jax.Array, h: int = HALO) -> jax.Array:

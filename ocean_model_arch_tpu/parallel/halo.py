@@ -27,7 +27,9 @@ from ..ops.stencil import HALO
 
 def _exchange_axis(f, axis: int, axis_name: str, n: int, periodic: bool,
                    h: int = HALO):
-    """Pad ``f`` along ``axis`` with h cells from the mesh neighbours."""
+    """Pad ``f`` along spatial ``axis`` (negative = from the end, so 3D
+    nlev fields work) with h cells from the mesh neighbours."""
+    axis = axis % f.ndim
     if n == 1:
         # single shard along this axis: the halo is the physical boundary
         # (zeros) or the wrap-around of the local array
@@ -71,11 +73,12 @@ class ShardHalo:
         self.axis_y = axis_y
 
     def ex(self, f):
-        f = _exchange_axis(f, 0, self.axis_x, self.px, self.periodic_x,
+        f = _exchange_axis(f, -2, self.axis_x, self.px, self.periodic_x,
                            self.h)
-        f = _exchange_axis(f, 1, self.axis_y, self.py, self.periodic_y,
+        f = _exchange_axis(f, -1, self.axis_y, self.py, self.periodic_y,
                            self.h)
         return f
 
     def zp(self, f):
-        return jnp.pad(f, self.h)
+        lead = [(0, 0)] * (f.ndim - 2)
+        return jnp.pad(f, lead + [(self.h, self.h), (self.h, self.h)])
