@@ -32,11 +32,11 @@ class FusedSWModel:
                  tx: int = 64, interpret: bool = False):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
-        if cfg.sw.use_tracers > 0:
-            raise ValueError("fused path: tracers not fused yet")
         self.grid = grid
         self.cfg = cfg
         self.tau = float(tau)
+        self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
+                          else 0)
         self.lay = fsk.make_layout(grid.nx, grid.ny, tx)
         met = fsk.metrics_profile_from_grid(grid, self.lay)  # raises if 2D
         lu_s = np.zeros((self.lay.Xs, self.lay.Ys), np.float32)
@@ -50,7 +50,7 @@ class FusedSWModel:
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
-            self.mu_const, interpret=interpret)
+            self.mu_const, n_tracers=self.n_tracers, interpret=interpret)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------
@@ -63,10 +63,14 @@ class FusedSWModel:
             raise ValueError("state.mu does not match kernel mu_const")
 
     def pack(self, state: SWState):
-        """SWState -> 6-tuple in fused layout (jit-safe)."""
+        """SWState -> (6 + 2*T)-tuple in fused layout (jit-safe)."""
         e = lambda a: fsk.embed(self.lay, a)
-        return (e(state.ssh), e(state.sshp), e(state.ubrtr),
-                e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp))
+        carry = [e(state.ssh), e(state.sshp), e(state.ubrtr),
+                 e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp)]
+        for t in range(self.n_tracers):
+            carry.append(e(state.ff[t]))
+            carry.append(e(state.ffp[t]))
+        return tuple(carry)
 
     def unpack(self, s6, template: SWState) -> SWState:
         """6-tuple -> full SWState; depth families + 'n' levels are
@@ -74,9 +78,16 @@ class FusedSWModel:
         path's state layout (for output / checkpoint / tracer coupling)."""
         x = lambda a: fsk.extract(self.lay, a).astype(
             template.ssh.dtype)
-        ssh, sshp, u, up, v, vp = (x(a) for a in s6)
+        ssh, sshp, u, up, v, vp = (x(a) for a in s6[:6])
         st = dataclasses.replace(template, ssh=ssh, sshp=sshp, ubrtr=u,
                                  ubrtrp=up, vbrtr=v, vbrtrp=vp)
+        if self.n_tracers:
+            ff = jnp.stack([x(s6[6 + 2 * t])
+                            for t in range(self.n_tracers)])
+            ffp = jnp.stack([x(s6[7 + 2 * t])
+                             for t in range(self.n_tracers)])
+            # post-rotation ffn == ff at wet points (tracer_next_step)
+            st = dataclasses.replace(st, ff=ff, ffp=ffp, ffn=ff)
         # regenerate depths exactly as the end-of-step hh_init would
         from ..ops import depth_kernels as dk
         hp = GlobalHalo()
@@ -108,7 +119,7 @@ class FusedSWModel:
 
 def fused_available(grid: Grid, cfg: ModelConfig) -> bool:
     """Whether the fused fast path supports this configuration."""
-    if grid.periodic_x or grid.periodic_y or cfg.sw.use_tracers > 0:
+    if grid.periodic_x or grid.periodic_y:
         return False
     try:
         lay = fsk.make_layout(grid.nx, grid.ny)

@@ -13,11 +13,14 @@ kernels, it exploits two structural facts the reference cannot:
    depths coincide with the current-level ones (hqn = h_r + ssh = hq when
    full_free_surface=1), so one interpolation family serves both.
 
-2. **The whole step fuses.** The total stencil reach of one step is <= 4
-   cells, so a tile with an 8-cell x-halo computes the entire
-   update_ssh -> hh_update -> vort -> uv_trans -> stress -> uv_diff2 ->
-   update_uv -> next_step chain for its interior in one pass:
-   6 prognostic reads + 2 static reads + 6 writes per point per step.
+2. **The whole step fuses.** The total stencil reach of one step
+   (including the tracer pass, which consumes post-rotation velocities
+   and post-hh_init depths) is <= 8 cells, so a tile with an 8-cell
+   x-halo computes the entire update_ssh -> hh_update -> vort ->
+   uv_trans -> stress -> uv_diff2 -> update_uv -> next_step ->
+   [tracer fluxes -> update -> filter] chain for its interior in one
+   pass: (6 + 2T) prognostic reads + 2 static reads + (6 + 2T) writes
+   per point per step (T = number of tracers).
 
 Layout: arrays are (Xs, Ys) float32 where Xs = margin + X + margin
 (margin = 8 rows of land so halo windows never leave the array — Mosaic
@@ -35,7 +38,6 @@ r_diss = 0 (the reference never writes it, core/data_types zero-init).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -85,11 +87,13 @@ def _roll_y(a, dn: int, ys: int):
 
 
 def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
-                 ffs: int, trans: int, ksw: int, mu_const: float):
+                 ffs: int, trans: int, ksw: int, mu_const: float,
+                 n_tracers: int = 0):
     M = MARGIN
     Ys = lay.Ys
     g = float(FREE_FALL_ACC)
     ts = float(time_smooth)
+    visc = bool(ksw and mu_const != 0.0)
 
     def sl(a, h_in, h_out, dm=0, dn=0):
         """Shifted view: halo h_in -> h_out, offset (dm, dn)."""
@@ -98,8 +102,14 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
         return _roll_y(out, dn, Ys)
 
-    def kernel(lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
-               vp_ref, met_ref, ssh_o, sshp_o, u_o, up_o, v_o, vp_o):
+    def kernel(*refs):
+        (lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
+         vp_ref, met_ref) = refs[:9]
+        tr_refs = refs[9:9 + 2 * n_tracers]          # ff_i, ffp_i pairs
+        outs = refs[9 + 2 * n_tracers:]
+        (ssh_o, sshp_o, u_o, up_o, v_o, vp_o) = outs[:6]
+        tr_outs = outs[6:]                           # ff_i, ffp_i pairs
+
         lu8 = lu_ref[...]
         hr8 = hr_ref[...]
         ssh8 = ssh_ref[...]
@@ -110,8 +120,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         vp8 = vp_ref[...]
         met = met_ref[...]      # (16, Ys) latitude profiles
 
-        def mrow(k, dn=0):
-            return _roll_y(met[k:k + 1, :], dn, Ys)
+        def mrow(k):
+            return met[k:k + 1, :]
 
         dx, dy = mrow(0), mrow(1)
         dxt, dyt = mrow(2), mrow(3)
@@ -122,202 +132,269 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         def LU(h, dm=0, dn=0):
             return sl(lu8, M, h, dm, dn)
 
+        def WLCU(h):
+            return (LU(h) * LU(h, 1, 0)) > 0.5
+
+        def WLCV(h):
+            return (LU(h) * LU(h, 0, 1)) > 0.5
+
+        def WLUU(h):
+            return (LU(h) * LU(h, 1, 0) * LU(h, 0, 1) * LU(h, 1, 1)) > 0.5
+
         # ---- depth interpolations (hh_init/hh_update, depth.f90) ----
         # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points.
-        def hq_at(h, src, dm=0, dn=0):
-            return sl(hr8, M, h, dm, dn) + sl(src, M, h, dm, dn) * float(ffs)
-
-        def interp_u(h, src):
-            # aq = hq*dx*dy*lu; hu = (aq + aq(+x)) / (lu+lu(+x)) / dxt / dyh
-            aq0 = hq_at(h + 1, src) * dx * dy * LU(h + 1)
-            aq = sl(aq0, h + 1, h)
-            aqp = sl(aq0, h + 1, h, 1, 0)
+        def interp_u(h, hq_h1):
+            """hq_h1 must carry halo h+1."""
+            aq0 = hq_h1 * dx * dy * LU(h + 1)
             slu = LU(h) + LU(h, 1, 0)
             w = slu > 0.5
-            return w, jnp.where(
-                w, (aq + aqp) / jnp.where(w, slu, 1.0) / dxt / dyh, 0.0)
+            return jnp.where(
+                w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0))
+                / jnp.where(w, slu, 1.0) / dxt / dyh, 0.0)
 
-        def interp_v(h, src):
-            aq0 = hq_at(h + 1, src) * dx * dy * LU(h + 1)
-            aq = sl(aq0, h + 1, h)
-            aqp = sl(aq0, h + 1, h, 0, 1)
+        def interp_v(h, hq_h1):
+            aq0 = hq_h1 * dx * dy * LU(h + 1)
             slu = LU(h) + LU(h, 0, 1)
             w = slu > 0.5
-            return w, jnp.where(
-                w, (aq + aqp) / jnp.where(w, slu, 1.0) / dxh / dyt, 0.0)
+            return jnp.where(
+                w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1))
+                / jnp.where(w, slu, 1.0) / dxh / dyt, 0.0)
 
-        def interp_h(h, src):
-            aq0 = hq_at(h + 1, src) * dx * dy * LU(h + 1)
+        def interp_h(h, hq_h1):
+            aq0 = hq_h1 * dx * dy * LU(h + 1)
             q = [sl(aq0, h + 1, h, a, b)
                  for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
             slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
             w = slu > 0.5
-            return w, jnp.where(
+            return jnp.where(
                 w, (q[0] + q[1] + q[2] + q[3])
                 / jnp.where(w, slu, 1.0) / dxb / dyb, 0.0)
 
-        # current-level depths (== new-level: hqn = h_r + ssh = hq)
-        _, hu2 = interp_u(2, ssh8)
-        _, hv2 = interp_v(2, ssh8)
-        _, hh2 = interp_h(2, ssh8)
-        # previous-level depths (pointwise consumers only)
-        _, hup0 = interp_u(0, sshp8)
-        _, hvp0 = interp_v(0, sshp8)
+        def hq_of(h, src):
+            return sl(hr8, M, h) + sl(src, M, h) * float(ffs)
 
-        # ---- continuity: sshn (sw_update_ssh_kernel) ----
-        uflux1 = sl(u8, M, 1) * sl(hu2, 2, 1) * dyh
-        vflux1 = sl(v8, M, 1) * sl(hv2, 2, 1) * dxh
-        wlu0 = LU(0) > 0.5
-        div0 = (sl(uflux1, 1, 0) - sl(uflux1, 1, 0, -1, 0)
-                + sl(vflux1, 1, 0) - sl(vflux1, 1, 0, 0, -1)) / (dx * dy)
-        sshn0 = jnp.where(wlu0, sl(sshp8, M, 0) + 2.0 * tau * (-div0), 0.0)
+        # current-level depths (== new-level: hqn = h_r + ssh = hq);
+        # halo 3 so the deeper chains below stay in budget
+        hu3 = interp_u(3, hq_of(4, ssh8))
+        hv3 = interp_v(3, hq_of(4, ssh8))
+        hh3 = interp_h(3, hq_of(4, ssh8))
+        # previous-level depths (pointwise consumers in update_uv)
+        hup1 = interp_u(1, hq_of(2, sshp8))
+        hvp1 = interp_v(1, hq_of(2, sshp8))
+
+        # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
+        uflux3 = sl(u8, M, 3) * hu3 * dyh
+        vflux3 = sl(v8, M, 3) * hv3 * dxh
+        wlu2 = LU(2) > 0.5
+        div2 = (sl(uflux3, 3, 2) - sl(uflux3, 3, 2, -1, 0)
+                + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) / (dx * dy)
+        sshn2 = jnp.where(wlu2, sl(sshp8, M, 2) + 2.0 * tau * (-div2), 0.0)
 
         # ---- momentum advection (uv_trans_vort + uv_trans) ----
         if trans:
-            wluu1 = (LU(1) * LU(1, 1, 0) * LU(1, 0, 1) * LU(1, 1, 1)) > 0.5
-            vd_t = sl(v8, M, 2) * dyt          # v*dyt at h2
-            ud_t = sl(u8, M, 2) * dxt
-            vort1 = jnp.where(
-                wluu1,
-                (sl(vd_t, 2, 1, 1, 0) - sl(vd_t, 2, 1))
-                - (sl(ud_t, 2, 1, 0, 1) - sl(ud_t, 2, 1))
-                - ((sl(v8, M, 1, 1, 0) - sl(v8, M, 1)) * dyb
-                   - (sl(u8, M, 1, 0, 1) - sl(u8, M, 1)) * dxb), 0.0)
+            wluu2 = WLUU(2)
+            vd_t = sl(v8, M, 3) * dyt          # v*dyt at h3
+            ud_t = sl(u8, M, 3) * dxt
+            vort2 = jnp.where(
+                wluu2,
+                (sl(vd_t, 3, 2, 1, 0) - sl(vd_t, 3, 2))
+                - (sl(ud_t, 3, 2, 0, 1) - sl(ud_t, 3, 2))
+                - ((sl(v8, M, 2, 1, 0) - sl(v8, M, 2)) * dyb
+                   - (sl(u8, M, 2, 0, 1) - sl(u8, M, 2)) * dxb), 0.0)
 
-            ud2 = sl(u8, M, 2) * dyh * sl(hu2, 2, 2)   # u*dyh*hu
-            vd2 = sl(v8, M, 2) * dxh * sl(hv2, 2, 2)
-            vorth1 = vort1 * sl(hh2, 2, 1)
-            luu1f = jnp.where(wluu1, 1.0, 0.0)
+            ud3 = sl(u8, M, 3) * dyh * hu3     # u*dyh*hu at h3
+            vd3 = sl(v8, M, 3) * dxh * hv3
+            vorth2 = vort2 * sl(hh3, 3, 2)
+            luu2f = jnp.where(wluu2, 1.0, 0.0)
+            u_c = sl(u8, M, 2)
+            v_c = sl(v8, M, 2)
 
-            wlcu0 = (LU(0) * LU(0, 1, 0)) > 0.5
-            wlcv0 = (LU(0) * LU(0, 0, 1)) > 0.5
-            u_c = sl(u8, M, 1)
-            v_c = sl(v8, M, 1)
-
-            fx_p = (sl(ud2, 2, 0) + sl(ud2, 2, 0, 1, 0)) / 2.0 \
-                * (sl(u_c, 1, 0) + sl(u_c, 1, 0, 1, 0)) / 2.0
-            fx_m = (sl(ud2, 2, 0) + sl(ud2, 2, 0, -1, 0)) / 2.0 \
-                * (sl(u_c, 1, 0) + sl(u_c, 1, 0, -1, 0)) / 2.0
-            fy_p = (sl(vd2, 2, 0) + sl(vd2, 2, 0, 1, 0)) / 2.0 \
-                * (sl(u_c, 1, 0, 0, 1) + sl(u_c, 1, 0)) / 2.0 \
-                * sl(luu1f, 1, 0)
-            fy_m = (sl(vd2, 2, 0, 0, -1) + sl(vd2, 2, 0, 1, -1)) / 2.0 \
-                * (sl(u_c, 1, 0, 0, -1) + sl(u_c, 1, 0)) / 2.0 \
-                * sl(luu1f, 1, 0, 0, -1)
-            rx_adv0 = jnp.where(
-                wlcu0,
+            fx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 1, 0)) / 2.0 \
+                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, 1, 0)) / 2.0
+            fx_m = (sl(ud3, 3, 1) + sl(ud3, 3, 1, -1, 0)) / 2.0 \
+                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, -1, 0)) / 2.0
+            fy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 1, 0)) / 2.0 \
+                * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1)) / 2.0 \
+                * sl(luu2f, 2, 1)
+            fy_m = (sl(vd3, 3, 1, 0, -1) + sl(vd3, 3, 1, 1, -1)) / 2.0 \
+                * (sl(u_c, 2, 1, 0, -1) + sl(u_c, 2, 1)) / 2.0 \
+                * sl(luu2f, 2, 1, 0, -1)
+            rx_adv1 = jnp.where(
+                WLCU(1),
                 -(fx_p - fx_m + fy_p - fy_m)
-                + (sl(vorth1, 1, 0) * (sl(v_c, 1, 0, 1, 0) + sl(v_c, 1, 0))
-                   + sl(vorth1, 1, 0, 0, -1)
-                   * (sl(v_c, 1, 0, 1, -1) + sl(v_c, 1, 0, 0, -1))) / 4.0,
+                + (sl(vorth2, 2, 1) * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1))
+                   + sl(vorth2, 2, 1, 0, -1)
+                   * (sl(v_c, 2, 1, 1, -1) + sl(v_c, 2, 1, 0, -1))) / 4.0,
                 0.0)
 
-            gy_p = (sl(vd2, 2, 0) + sl(vd2, 2, 0, 0, 1)) / 2.0 \
-                * (sl(v_c, 1, 0) + sl(v_c, 1, 0, 0, 1)) / 2.0
-            gy_m = (sl(vd2, 2, 0) + sl(vd2, 2, 0, 0, -1)) / 2.0 \
-                * (sl(v_c, 1, 0) + sl(v_c, 1, 0, 0, -1)) / 2.0
-            gx_p = (sl(ud2, 2, 0) + sl(ud2, 2, 0, 0, 1)) / 2.0 \
-                * (sl(v_c, 1, 0, 1, 0) + sl(v_c, 1, 0)) / 2.0
-            gx_m = (sl(ud2, 2, 0, -1, 0) + sl(ud2, 2, 0, -1, 1)) / 2.0 \
-                * (sl(v_c, 1, 0, -1, 0) + sl(v_c, 1, 0)) / 2.0
-            ry_adv0 = jnp.where(
-                wlcv0,
+            gy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, 1)) / 2.0 \
+                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, 1)) / 2.0
+            gy_m = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, -1)) / 2.0 \
+                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, -1)) / 2.0
+            gx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 0, 1)) / 2.0 \
+                * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1)) / 2.0
+            gx_m = (sl(ud3, 3, 1, -1, 0) + sl(ud3, 3, 1, -1, 1)) / 2.0 \
+                * (sl(v_c, 2, 1, -1, 0) + sl(v_c, 2, 1)) / 2.0
+            ry_adv1 = jnp.where(
+                WLCV(1),
                 -(gx_p - gx_m + gy_p - gy_m)
-                - (sl(vorth1, 1, 0) * (sl(u_c, 1, 0, 0, 1) + sl(u_c, 1, 0))
-                   + sl(vorth1, 1, 0, -1, 0)
-                   * (sl(u_c, 1, 0, -1, 1) + sl(u_c, 1, 0, -1, 0))) / 4.0,
+                - (sl(vorth2, 2, 1) * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1))
+                   + sl(vorth2, 2, 1, -1, 0)
+                   * (sl(u_c, 2, 1, -1, 1) + sl(u_c, 2, 1, -1, 0))) / 4.0,
                 0.0)
         else:
-            rx_adv0 = 0.0
-            ry_adv0 = 0.0
+            rx_adv1 = 0.0
+            ry_adv1 = 0.0
 
         # ---- lateral viscosity (stress_components + uv_diff2) ----
-        if ksw and mu_const != 0.0:
-            wlu1 = LU(1) > 0.5
-            wluu1v = (LU(1) * LU(1, 1, 0) * LU(1, 0, 1) * LU(1, 1, 1)) > 0.5
-            q2 = sl(up8, M, 2) / dyh
-            r2 = sl(vp8, M, 2) / dxh
-            str_t1 = jnp.where(
-                wlu1,
-                dy / dx * (sl(q2, 2, 1) - sl(q2, 2, 1, -1, 0))
-                - dx / dy * (sl(r2, 2, 1) - sl(r2, 2, 1, 0, -1)), 0.0)
-            s1 = sl(up8, M, 2) / dxt
-            s2 = sl(vp8, M, 2) / dyt
-            str_s1 = jnp.where(
-                wluu1v,
-                dxb / dyb * (sl(s1, 2, 1, 0, 1) - sl(s1, 2, 1))
-                + dyb / dxb * (sl(s2, 2, 1, 1, 0) - sl(s2, 2, 1)), 0.0)
+        if visc:
+            q3 = sl(up8, M, 3) / dyh
+            r3 = sl(vp8, M, 3) / dxh
+            str_t2 = jnp.where(
+                LU(2) > 0.5,
+                dy / dx * (sl(q3, 3, 2) - sl(q3, 3, 2, -1, 0))
+                - dx / dy * (sl(r3, 3, 2) - sl(r3, 3, 2, 0, -1)), 0.0)
+            s1 = sl(up8, M, 3) / dxt
+            s2 = sl(vp8, M, 3) / dyt
+            str_s2 = jnp.where(
+                WLUU(2),
+                dxb / dyb * (sl(s1, 3, 2, 0, 1) - sl(s1, 3, 2))
+                + dyb / dxb * (sl(s2, 3, 2, 1, 0) - sl(s2, 3, 2)), 0.0)
 
-            hq1 = hq_at(1, ssh8)
-            a1 = (dy * dy) * mu_const * hq1 * str_t1
-            b1 = (dx * dx) * mu_const * hq1 * str_t1
-            wlcu0d = (LU(0) * LU(0, 1, 0)) > 0.5
-            wlcv0d = (LU(0) * LU(0, 0, 1)) > 0.5
-            rx_dif0 = jnp.where(
-                wlcu0d,
-                (sl(a1, 1, 0, 1, 0) - sl(a1, 1, 0)) / dyh
-                + (dxb * dxb * mu_const * sl(hh2, 2, 0) * sl(str_s1, 1, 0)
+            hq2 = hq_of(2, ssh8)
+            a2 = (dy * dy) * mu_const * hq2 * str_t2
+            b2 = (dx * dx) * mu_const * hq2 * str_t2
+            rx_dif1 = jnp.where(
+                WLCU(1),
+                (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) / dyh
+                + (dxb * dxb * mu_const * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
                    - _roll_y(dxb * dxb, -1, Ys) * mu_const
-                   * sl(hh2, 2, 0, 0, -1) * sl(str_s1, 1, 0, 0, -1)) / dxt,
+                   * sl(hh3, 3, 1, 0, -1) * sl(str_s2, 2, 1, 0, -1)) / dxt,
                 0.0)
-            ry_dif0 = jnp.where(
-                wlcv0d,
-                -(sl(b1, 1, 0, 0, 1) - sl(b1, 1, 0)) / dxh
-                + (dyb * dyb * mu_const * sl(hh2, 2, 0) * sl(str_s1, 1, 0)
+            ry_dif1 = jnp.where(
+                WLCV(1),
+                -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) / dxh
+                + (dyb * dyb * mu_const * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
                    - dyb * dyb * mu_const
-                   * sl(hh2, 2, 0, -1, 0) * sl(str_s1, 1, 0, -1, 0)) / dyt,
+                   * sl(hh3, 3, 1, -1, 0) * sl(str_s2, 2, 1, -1, 0)) / dyt,
                 0.0)
         else:
-            rx_dif0 = 0.0
-            ry_dif0 = 0.0
+            rx_dif1 = 0.0
+            ry_dif1 = 0.0
 
-        # ---- momentum update (sw_update_uv) ----
-        wlcu0m = (LU(0) * LU(0, 1, 0)) > 0.5
-        wlcv0m = (LU(0) * LU(0, 0, 1)) > 0.5
-        hu0 = sl(hu2, 2, 0)
-        hv0 = sl(hv2, 2, 0)
-        corio1 = rlh_s * sl(hh2, 2, 1) * dxb * dyb
-        ssh_c = sl(ssh8, M, 1)
-        u_c1 = sl(u8, M, 1)
-        v_c1 = sl(v8, M, 1)
-        up0 = sl(up8, M, 0)
-        vp0 = sl(vp8, M, 0)
+        # ---- momentum update at halo 1 (sw_update_uv) ----
+        wlcu1 = WLCU(1)
+        wlcv1 = WLCV(1)
+        hu1 = sl(hu3, 3, 1)
+        hv1 = sl(hv3, 3, 1)
+        corio2 = rlh_s * sl(hh3, 3, 2) * dxb * dyb
+        ssh_c2 = sl(ssh8, M, 2)
+        u_c2 = sl(u8, M, 2)
+        v_c2 = sl(v8, M, 2)
+        up1 = sl(up8, M, 1)
+        vp1 = sl(vp8, M, 1)
 
-        bp_u = hu0 * dxt * dyh / 2.0 / tau      # hhun == hhu (see docstring)
-        bp0_u = hup0 * dxt * dyh / 2.0 / tau
-        slx = -g * (sl(ssh_c, 1, 0, 1, 0) - sl(ssh_c, 1, 0)) * dyh * hu0
-        grx = (slx + rx_dif0 + rx_adv0
-               + (sl(corio1, 1, 0) * (sl(v_c1, 1, 0, 1, 0) + sl(v_c1, 1, 0))
-                  + sl(corio1, 1, 0, 0, -1)
-                  * (sl(v_c1, 1, 0, 1, -1) + sl(v_c1, 1, 0, 0, -1))) / 4.0)
-        un0 = jnp.where(
-            wlcu0m, (up0 * bp0_u + grx) / jnp.where(wlcu0m, bp_u, 1.0), 0.0)
+        bp_u = hu1 * dxt * dyh / 2.0 / tau      # hhun == hhu (see docstring)
+        bp0_u = hup1 * dxt * dyh / 2.0 / tau
+        slx = -g * (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) * dyh * hu1
+        grx = (slx + rx_dif1 + rx_adv1
+               + (sl(corio2, 2, 1) * (sl(v_c2, 2, 1, 1, 0) + sl(v_c2, 2, 1))
+                  + sl(corio2, 2, 1, 0, -1)
+                  * (sl(v_c2, 2, 1, 1, -1) + sl(v_c2, 2, 1, 0, -1))) / 4.0)
+        un1 = jnp.where(
+            wlcu1, (up1 * bp0_u + grx) / jnp.where(wlcu1, bp_u, 1.0), 0.0)
 
-        bp_v = hv0 * dyt * dxh / 2.0 / tau
-        bp0_v = hvp0 * dyt * dxh / 2.0 / tau
-        sly = -g * (sl(ssh_c, 1, 0, 0, 1) - sl(ssh_c, 1, 0)) * dxh * hv0
-        gry = (sly + ry_dif0 + ry_adv0
-               - (sl(corio1, 1, 0) * (sl(u_c1, 1, 0, 0, 1) + sl(u_c1, 1, 0))
-                  + sl(corio1, 1, 0, -1, 0)
-                  * (sl(u_c1, 1, 0, -1, 1) + sl(u_c1, 1, 0, -1, 0))) / 4.0)
-        vn0 = jnp.where(
-            wlcv0m, (vp0 * bp0_v + gry) / jnp.where(wlcv0m, bp_v, 1.0), 0.0)
+        bp_v = hv1 * dyt * dxh / 2.0 / tau
+        bp0_v = hvp1 * dyt * dxh / 2.0 / tau
+        sly = -g * (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) * dxh * hv1
+        gry = (sly + ry_dif1 + ry_adv1
+               - (sl(corio2, 2, 1) * (sl(u_c2, 2, 1, 0, 1) + sl(u_c2, 2, 1))
+                  + sl(corio2, 2, 1, -1, 0)
+                  * (sl(u_c2, 2, 1, -1, 1) + sl(u_c2, 2, 1, -1, 0))) / 4.0)
+        vn1 = jnp.where(
+            wlcv1, (vp1 * bp0_v + gry) / jnp.where(wlcv1, bp_v, 1.0), 0.0)
 
         # ---- leapfrog rotation + Robert-Asselin filter (sw_next_step) ----
+        wlu0 = LU(0) > 0.5
+        wlcu0 = WLCU(0)
+        wlcv0 = WLCV(0)
         ssh0 = sl(ssh8, M, 0)
         sshp0 = sl(sshp8, M, 0)
         u0 = sl(u8, M, 0)
         v0 = sl(v8, M, 0)
+        sshn0 = sl(sshn2, 2, 0)
+        un0 = sl(un1, 1, 0)
+        vn0 = sl(vn1, 1, 0)
+        up0 = sl(up8, M, 0)
+        vp0 = sl(vp8, M, 0)
 
-        ssh_o[...] = jnp.where(wlu0, sshn0, ssh0)
-        sshp_o[...] = jnp.where(
+        ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
+        sshp_new0 = jnp.where(
             wlu0, ssh0 + ts * (sshn0 - 2.0 * ssh0 + sshp0) / 2.0, sshp0)
-        u_o[...] = jnp.where(wlcu0m, un0, u0)
+        ssh_o[...] = ssh_new0
+        sshp_o[...] = sshp_new0
+        u_o[...] = jnp.where(wlcu0, un0, u0)
         up_o[...] = jnp.where(
-            wlcu0m, u0 + ts * (un0 - 2.0 * u0 + up0) / 2.0, up0)
-        v_o[...] = jnp.where(wlcv0m, vn0, v0)
+            wlcu0, u0 + ts * (un0 - 2.0 * u0 + up0) / 2.0, up0)
+        v_o[...] = jnp.where(wlcv0, vn0, v0)
         vp_o[...] = jnp.where(
-            wlcv0m, v0 + ts * (vn0 - 2.0 * v0 + vp0) / 2.0, vp0)
+            wlcv0, v0 + ts * (vn0 - 2.0 * v0 + vp0) / 2.0, vp0)
+
+        # ---- tracer pass (expl_tracer, runs after the SW step) ----
+        if n_tracers:
+            # post-step depths: hh_init from the NEW (ssh, sshp) sets
+            # hhu = interp(h_r + ssh_new), hhq_n = h_r,
+            # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
+            ssh_new2 = jnp.where(LU(2) > 0.5, sshn2, sl(ssh8, M, 2))
+            hun1 = interp_u(1, sl(hr8, M, 2) + ssh_new2 * float(ffs))
+            hvn1 = interp_v(1, sl(hr8, M, 2) + ssh_new2 * float(ffs))
+            u_new1 = jnp.where(WLCU(1), un1, sl(u8, M, 1))
+            v_new1 = jnp.where(WLCV(1), vn1, sl(v8, M, 1))
+
+            wlcu1t = WLCU(1)
+            wlcv1t = WLCV(1)
+            for t in range(n_tracers):
+                ff8 = tr_refs[2 * t][...]
+                ffp8 = tr_refs[2 * t + 1][...]
+                ff_o = tr_outs[2 * t]
+                ffp_o = tr_outs[2 * t + 1]
+
+                ff2 = sl(ff8, M, 2)
+                # fluxes (tran_diff_fluxes_kernel): advective + diffusive
+                dfdx = sl(ff2, 2, 1, 1, 0) - sl(ff2, 2, 1)
+                mu_x = mu_const * dyh / dxt    # (mu+mu)/2 * factor(=1)
+                fx1 = jnp.where(
+                    wlcu1t,
+                    -u_new1 * hun1 * dyh
+                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0)) / 2.0
+                    + mu_x * hun1 * dfdx, 0.0)
+                dfdy = sl(ff2, 2, 1, 0, 1) - sl(ff2, 2, 1)
+                mu_y = mu_const * dxh / dyt
+                fy1 = jnp.where(
+                    wlcv1t,
+                    -v_new1 * hvn1 * dxh
+                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1)) / 2.0
+                    + mu_y * hvn1 * dfdy, 0.0)
+
+                # leapfrog update (tran_diff_tracer_kernel):
+                # bp = hhq_n*area/2tau with hhq_n = h_r,
+                # bp0 with hhq_p = h_r + sshp_new*ffs
+                hr0 = sl(hr8, M, 0)
+                bp = hr0 * dx * dy / tau / 2.0
+                bp0 = (hr0 + sshp_new0 * float(ffs)) \
+                    * dx * dy / tau / 2.0
+                rhs = (sl(fx1, 1, 0) - sl(fx1, 1, 0, -1, 0)
+                       + sl(fy1, 1, 0) - sl(fy1, 1, 0, 0, -1))
+                ffp0 = sl(ffp8, M, 0)
+                ff0 = sl(ff8, M, 0)
+                ffn0 = jnp.where(
+                    wlu0, (bp0 * ffp0 + rhs) / jnp.where(wlu0, bp, 1.0),
+                    0.0)
+                # filter + rotation (tracer_next_step_kernel)
+                ff_o[...] = jnp.where(wlu0, ffn0, ff0)
+                ffp_o[...] = jnp.where(
+                    wlu0, ff0 + ts * (ffn0 - 2.0 * ff0 + ffp0) / 2.0,
+                    ffp0)
 
     return kernel
 
@@ -325,16 +402,20 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         tau: float, time_smooth: float, ffs: int,
                         trans: int, ksw: int, mu_const: float = 0.0,
-                        interpret: bool = False):
-    """Returns ``step6(ssh, sshp, u, up, v, vp) -> same 6-tuple`` on fused-
-    layout arrays. All static fields are captured as constants.
+                        n_tracers: int = 0, interpret: bool = False):
+    """Returns the fused step on fused-layout arrays.
+
+    With ``lu_s`` given: ``step(ssh, sshp, u, up, v, vp, *tracers)`` where
+    tracers = ff_0, ffp_0, ff_1, ... With ``lu_s=None``: the raw form
+    ``step(lu, hr, met, ssh, ...)`` for the sharded driver.
 
     ``metrics_profile``: (16, Ys) float32 rows =
     [dx, dy, dxt, dyt, dxh, dyh, dxb, dyb, rlh_s, 0...] latitude profiles.
     """
     M = MARGIN
     tx = lay.tx
-    kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const)
+    kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
+                        n_tracers)
 
     n_tiles = lay.X // tx
 
@@ -355,31 +436,33 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
+    n_out = 6 + 2 * n_tracers
 
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[in_spec() for _ in range(8)] + [met_spec],
-        out_specs=[out_spec() for _ in range(6)],
-        out_shape=[shape] * 6,
+        in_specs=([in_spec() for _ in range(8)] + [met_spec]
+                  + [in_spec() for _ in range(2 * n_tracers)]),
+        out_specs=[out_spec() for _ in range(n_out)],
+        out_shape=[shape] * n_out,
         interpret=interpret,
     )
 
     if lu_s is None:
-        # raw form: statics supplied per call (used by the sharded driver,
-        # where each shard carries its own margined lu/h_r slices)
-        def step6_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp):
-            return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp, met_a))
-        return step6_raw
+        def step_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp, *tracers):
+            return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp, met_a,
+                              *tracers))
+        return step_raw
 
     lu_c = jnp.asarray(lu_s, jnp.float32)
     hr_c = jnp.asarray(hhq_rest_s, jnp.float32)
     met = jnp.asarray(metrics_profile, jnp.float32)
 
-    def step6(ssh, sshp, u, up, v, vp):
-        return tuple(call(lu_c, hr_c, ssh, sshp, u, up, v, vp, met))
+    def step(ssh, sshp, u, up, v, vp, *tracers):
+        return tuple(call(lu_c, hr_c, ssh, sshp, u, up, v, vp, met,
+                          *tracers))
 
-    return step6
+    return step
 
 
 def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:

@@ -52,12 +52,36 @@ def test_fused_matches_jnp(curve_grid, with_islands):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+def test_fused_tracers_match_jnp():
+    basin = basinpar_flat(70, 52, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=2),
+                      precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    rng = np.random.RandomState(3)
+    mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
+    s = fm.pack(state)
+    s, ok2 = jax.jit(lambda c: fm.run_steps(c, 30))(s)
+    assert bool(ok2)
+    out = fm.unpack(s, state)
+    for t in range(2):
+        for name in ("ff", "ffp"):
+            a = np.asarray(getattr(out, name)[t])
+            b = np.asarray(getattr(ref, name)[t])
+            rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+            assert rel < 1e-6, (name, t, rel)
+
+
 def test_fused_availability_checks():
     grid, cfg, state = _case(1, False)
     assert fused_available(grid, cfg)
-    # tracers -> unsupported
-    cfg_tr = dataclasses.replace(cfg, sw=SWConfig(use_tracers=1))
-    assert not fused_available(grid, cfg_tr)
     # periodic -> unsupported
     grid_p = dataclasses.replace(grid, periodic_x=True)
     assert not fused_available(grid_p, cfg)
