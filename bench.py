@@ -31,6 +31,9 @@ import numpy as np
 def main():
     import jax
 
+    from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid

@@ -30,6 +30,9 @@ def main(argv=None):
 
     import jax
 
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from .config import Precision
     from .model.model import OceanModel, load_config_dir
 

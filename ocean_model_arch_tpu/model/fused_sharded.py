@@ -70,14 +70,16 @@ class FusedShardedSWModel:
         self.lu_shards = jnp.asarray(margined_shards(grid.lu))
         self.hr_shards = jnp.asarray(margined_shards(grid.hhq_rest))
 
-        self.step6_raw = fsk.build_fused_sw_step(
+        self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
+                          else 0)
+        self.step_raw = fsk.build_fused_sw_step(
             self.lay, None, None, None, float(tau), cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
-            mu_const=0.0, interpret=interpret)
+            mu_const=0.0, n_tracers=self.n_tracers, interpret=interpret)
 
     # ------------------------------------------------------------------
     def pack(self, state: SWState):
-        """SWState -> 6 sharded (Xg, Ys) arrays."""
+        """SWState -> (6 + 2*T) sharded (Xg, Ys) arrays."""
         def embed(a):
             g = jnp.zeros((self.Xg, self.lay.Ys), jnp.float32)
             g = g.at[:self.grid.nx,
@@ -85,9 +87,11 @@ class FusedShardedSWModel:
                 jnp.asarray(a, jnp.float32))
             return jax.device_put(
                 g, NamedSharding(self.mesh, P("x", None)))
-        return tuple(embed(a) for a in
-                     (state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
-                      state.vbrtr, state.vbrtrp))
+        fields = [state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
+                  state.vbrtr, state.vbrtrp]
+        for t in range(self.n_tracers):
+            fields += [state.ff[t], state.ffp[t]]
+        return tuple(embed(a) for a in fields)
 
     def extract(self, s6):
         return tuple(a[:self.grid.nx,
@@ -113,7 +117,7 @@ class FusedShardedSWModel:
 
             def one(c, _):
                 margined = tuple(exchange(f) for f in c)
-                outs = self.step6_raw(lu_l, hr_l, self.met, *margined)
+                outs = self.step_raw(lu_l, hr_l, self.met, *margined)
                 return tuple(o[M:-M] for o in outs), None
 
             s6, _ = lax.scan(one, tuple(s6), None, length=n_inner)
@@ -122,11 +126,12 @@ class FusedShardedSWModel:
             ok = lax.psum(okl.astype(jnp.int32), "x") == n
             return s6, ok
 
+        nf = 6 + 2 * self.n_tracers
         sharded = jax.shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(P("x", None, None), P("x", None, None),
-                      tuple(P("x", None) for _ in range(6))),
-            out_specs=(tuple(P("x", None) for _ in range(6)), P()),
+                      tuple(P("x", None) for _ in range(nf))),
+            out_specs=(tuple(P("x", None) for _ in range(nf)), P()),
             check_vma=False,
         )
 

@@ -95,14 +95,27 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     ts = float(time_smooth)
     visc = bool(ksw and mu_const != 0.0)
 
-    def sl(a, h_in, h_out, dm=0, dn=0):
-        """Shifted view: halo h_in -> h_out, offset (dm, dn)."""
-        off = h_in - h_out + dm
-        rows = a.shape[0] - 2 * h_in + 2 * h_out
-        out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
-        return _roll_y(out, dn, Ys)
-
     def kernel(*refs):
+        # memoized lane rolls: each (field, dn) pair is rotated once at
+        # full halo width, then every shifted view is a pure x-slice —
+        # lane rotates are the dominant VPU shuffle cost of the kernel
+        rolled: dict = {}
+
+        def R(a, dn):
+            if dn == 0:
+                return a
+            key = (id(a), dn)
+            if key not in rolled:
+                rolled[key] = _roll_y(a, dn, Ys)
+            return rolled[key]
+
+        def sl(a, h_in, h_out, dm=0, dn=0):
+            """Shifted view: halo h_in -> h_out, offset (dm, dn)."""
+            a = R(a, dn)
+            off = h_in - h_out + dm
+            rows = a.shape[0] - 2 * h_in + 2 * h_out
+            return jax.lax.slice(a, (off, 0), (off + rows, Ys))
+
         (lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
          vp_ref, met_ref) = refs[:9]
         tr_refs = refs[9:9 + 2 * n_tracers]          # ff_i, ffp_i pairs
@@ -142,26 +155,24 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             return (LU(h) * LU(h, 1, 0) * LU(h, 0, 1) * LU(h, 1, 1)) > 0.5
 
         # ---- depth interpolations (hh_init/hh_update, depth.f90) ----
-        # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points.
-        def interp_u(h, hq_h1):
-            """hq_h1 must carry halo h+1."""
-            aq0 = hq_h1 * dx * dy * LU(h + 1)
+        # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points. The
+        # weighted column aq = hq*dx*dy*lu is shared by all three interps.
+        def interp_u(h, aq0):
+            """aq0 must carry halo h+1."""
             slu = LU(h) + LU(h, 1, 0)
             w = slu > 0.5
             return jnp.where(
                 w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0))
                 / jnp.where(w, slu, 1.0) / dxt / dyh, 0.0)
 
-        def interp_v(h, hq_h1):
-            aq0 = hq_h1 * dx * dy * LU(h + 1)
+        def interp_v(h, aq0):
             slu = LU(h) + LU(h, 0, 1)
             w = slu > 0.5
             return jnp.where(
                 w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1))
                 / jnp.where(w, slu, 1.0) / dxh / dyt, 0.0)
 
-        def interp_h(h, hq_h1):
-            aq0 = hq_h1 * dx * dy * LU(h + 1)
+        def interp_h(h, aq0):
             q = [sl(aq0, h + 1, h, a, b)
                  for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
             slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
@@ -170,17 +181,20 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 w, (q[0] + q[1] + q[2] + q[3])
                 / jnp.where(w, slu, 1.0) / dxb / dyb, 0.0)
 
-        def hq_of(h, src):
-            return sl(hr8, M, h) + sl(src, M, h) * float(ffs)
+        def aq_of(h, src):
+            hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)
+            return hq * dx * dy * LU(h)
 
         # current-level depths (== new-level: hqn = h_r + ssh = hq);
         # halo 3 so the deeper chains below stay in budget
-        hu3 = interp_u(3, hq_of(4, ssh8))
-        hv3 = interp_v(3, hq_of(4, ssh8))
-        hh3 = interp_h(3, hq_of(4, ssh8))
+        aq_cur4 = aq_of(4, ssh8)
+        hu3 = interp_u(3, aq_cur4)
+        hv3 = interp_v(3, aq_cur4)
+        hh3 = interp_h(3, aq_cur4)
         # previous-level depths (pointwise consumers in update_uv)
-        hup1 = interp_u(1, hq_of(2, sshp8))
-        hvp1 = interp_v(1, hq_of(2, sshp8))
+        aq_prev2 = aq_of(2, sshp8)
+        hup1 = interp_u(1, aq_prev2)
+        hvp1 = interp_v(1, aq_prev2)
 
         # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
         uflux3 = sl(u8, M, 3) * hu3 * dyh
@@ -346,8 +360,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # hhu = interp(h_r + ssh_new), hhq_n = h_r,
             # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
             ssh_new2 = jnp.where(LU(2) > 0.5, sshn2, sl(ssh8, M, 2))
-            hun1 = interp_u(1, sl(hr8, M, 2) + ssh_new2 * float(ffs))
-            hvn1 = interp_v(1, sl(hr8, M, 2) + ssh_new2 * float(ffs))
+            aq_new2 = (sl(hr8, M, 2) + ssh_new2 * float(ffs)) \
+                * dx * dy * LU(2)
+            hun1 = interp_u(1, aq_new2)
+            hvn1 = interp_v(1, aq_new2)
             u_new1 = jnp.where(WLCU(1), un1, sl(u8, M, 1))
             v_new1 = jnp.where(WLCV(1), vn1, sl(v8, M, 1))
 
