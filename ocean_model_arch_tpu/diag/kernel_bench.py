@@ -83,7 +83,9 @@ def run(grid: Grid, cfg: ModelConfig, state: SWState, tau=1.0) -> dict:
           ex(g.llu), ex(g.llv), ex(g.luh), ex(s.hhq), ex(s.hhq_p),
           ex(s.hhq_n), ex(s.hhu), ex(s.hhu_p), ex(s.hhu_n), ex(s.hhv),
           ex(s.hhv_p), ex(s.hhv_n), ex(s.hhh), ex(s.hhh_p), ex(s.hhh_n))
-    bench("hh_init", dk.hh_init, cfg.sw.full_free_surface, ex(g.lu),
+    import functools
+    dk_hh_init = functools.partial(dk.hh_init, cfg.sw.full_free_surface)
+    bench("hh_init", lambda *a: dk_hh_init(*a), ex(g.lu),
           ex(g.llu), ex(g.llv), ex(g.luh), ex(g.dx), ex(g.dy), ex(g.dxt),
           ex(g.dyt), ex(g.dxh), ex(g.dyh), ex(g.dxb), ex(g.dyb),
           ex(s.ssh), ex(s.sshp), ex(g.hhq_rest), ex(s.hhu), ex(s.hhu_p),
