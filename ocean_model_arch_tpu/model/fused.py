@@ -29,7 +29,8 @@ class FusedSWModel:
     prognostic fields; depths/masks are recomputed in-kernel."""
 
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
-                 tx: int = 64, interpret: bool = False):
+                 tx: int = 64, interpret: bool = False,
+                 vmem_limit_bytes: int | None = None):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
         self.grid = grid
@@ -50,7 +51,8 @@ class FusedSWModel:
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
-            self.mu_const, n_tracers=self.n_tracers, interpret=interpret)
+            self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------

@@ -418,7 +418,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         tau: float, time_smooth: float, ffs: int,
                         trans: int, ksw: int, mu_const: float = 0.0,
-                        n_tracers: int = 0, interpret: bool = False):
+                        n_tracers: int = 0, interpret: bool = False,
+                        vmem_limit_bytes: int | None = None):
     """Returns the fused step on fused-layout arrays.
 
     With ``lu_s`` given: ``step(ssh, sshp, u, up, v, vp, *tracers)`` where
@@ -454,6 +455,10 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
     n_out = 6 + 2 * n_tracers
 
+    extra = {}
+    if vmem_limit_bytes is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes)
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -462,6 +467,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         out_specs=[out_spec() for _ in range(n_out)],
         out_shape=[shape] * n_out,
         interpret=interpret,
+        **extra,
     )
 
     if lu_s is None:
