@@ -16,6 +16,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import (ModelConfig, Precision, load_basinpar, load_parallel,
@@ -97,8 +98,39 @@ class OceanModel:
                 and self.cfg.precision.state_dtype == np.float32
                 and fused_available(self.grid, self.cfg))
 
+    def _use_fused_sharded(self) -> bool:
+        from .fused import fused_available
+        on_tpu = jax.devices()[0].platform != "cpu"
+        return (on_tpu
+                and self.mesh is not None
+                and self.cfg.parallel.mesh_y == 1
+                and self.cfg.precision.state_dtype == np.float32
+                and fused_available(self.grid, self.cfg))
+
     def _make_runner(self, n_inner: int):
         tau = self.cfg.run.tau
+        if self._use_fused_sharded():
+            from .fused_sharded import FusedShardedSWModel
+            if not hasattr(self, "_fused_sh"):
+                self._fused_sh = FusedShardedSWModel(
+                    self.grid, self.cfg, tau, self.cfg.parallel.mesh_x)
+            fs = self._fused_sh
+            inner = fs.make_runner(n_inner)
+
+            def runner(st):
+                carry = fs.pack(st)
+                carry, ok = inner(carry)
+                fields = fs.extract(carry)
+                import dataclasses as _dc
+                upd = dict(zip(("ssh", "sshp", "ubrtr", "ubrtrp",
+                                "vbrtr", "vbrtrp"), fields[:6]))
+                if fs.n_tracers:
+                    upd["ff"] = jnp.stack(fields[6::2])
+                    upd["ffp"] = jnp.stack(fields[7::2])
+                    upd["ffn"] = upd["ff"]
+                return _dc.replace(st, **{k: jnp.asarray(
+                    v, st.ssh.dtype) for k, v in upd.items()}), ok
+            return runner
         if self.mesh is not None:
             stepn = make_sharded_step(self._grid_s, self.cfg, self.mesh,
                                       n_inner=n_inner)
@@ -161,7 +193,9 @@ class OceanModel:
                 print(f"MODEL: resumed from {checkpoint_path} "
                       f"at step {self.num_step}")
 
-        sharded = self.mesh is not None
+        # the fused-sharded runner packs/unpacks internally and consumes
+        # the plain (unsharded) state view
+        sharded = self.mesh is not None and not self._use_fused_sharded()
         state = self._state_s if sharded else self.state
         runner = self._make_runner(n_out)
 
