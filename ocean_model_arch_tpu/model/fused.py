@@ -30,7 +30,8 @@ class FusedSWModel:
 
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
                  tx: int = 64, interpret: bool = False,
-                 vmem_limit_bytes: int | None = None):
+                 vmem_limit_bytes: int | None = None,
+                 mu_const: float = 0.0):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
         self.grid = grid
@@ -46,8 +47,10 @@ class FusedSWModel:
         hr_s = np.zeros_like(lu_s)
         hr_s[fsk.MARGIN:fsk.MARGIN + grid.nx,
              fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.hhq_rest)
-        # mu is spatially constant in the reference (init quirk zeroes it)
-        self.mu_const = 0.0
+        # mu is spatially constant in the reference (the init quirk zeroes
+        # it, init_data.f90:76-77); a nonzero constant enables the fused
+        # stress/diffusion branch
+        self.mu_const = float(mu_const)
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,

@@ -141,6 +141,14 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         dxh, dyh = mrow(4), mrow(5)
         dxb, dyb = mrow(6), mrow(7)
         rlh_s = mrow(8)
+        # reciprocal profiles (divisions are the dominant VPU cost of the
+        # interpolation/update chains; one recip per metric per row is
+        # precomputed host-side)
+        rsq = mrow(9)              # 1/(dx*dy)
+        rdxt, rdyt = mrow(10), mrow(11)
+        rdxh, rdyh = mrow(12), mrow(13)
+        rdxb, rdyb = mrow(14), mrow(15)
+        inv2tau = float(1.0 / (2.0 * tau))
 
         def LU(h, dm=0, dn=0):
             return sl(lu8, M, h, dm, dn)
@@ -163,14 +171,14 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             w = slu > 0.5
             return jnp.where(
                 w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0))
-                / jnp.where(w, slu, 1.0) / dxt / dyh, 0.0)
+                / jnp.where(w, slu, 1.0) * (rdxt * rdyh), 0.0)
 
         def interp_v(h, aq0):
             slu = LU(h) + LU(h, 0, 1)
             w = slu > 0.5
             return jnp.where(
                 w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1))
-                / jnp.where(w, slu, 1.0) / dxh / dyt, 0.0)
+                / jnp.where(w, slu, 1.0) * (rdxh * rdyt), 0.0)
 
         def interp_h(h, aq0):
             q = [sl(aq0, h + 1, h, a, b)
@@ -179,7 +187,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             w = slu > 0.5
             return jnp.where(
                 w, (q[0] + q[1] + q[2] + q[3])
-                / jnp.where(w, slu, 1.0) / dxb / dyb, 0.0)
+                / jnp.where(w, slu, 1.0) * (rdxb * rdyb), 0.0)
 
         def aq_of(h, src):
             hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)
@@ -201,7 +209,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         vflux3 = sl(v8, M, 3) * hv3 * dxh
         wlu2 = LU(2) > 0.5
         div2 = (sl(uflux3, 3, 2) - sl(uflux3, 3, 2, -1, 0)
-                + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) / (dx * dy)
+                + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) * rsq
         sshn2 = jnp.where(wlu2, sl(sshp8, M, 2) + 2.0 * tau * (-div2), 0.0)
 
         # ---- momentum advection (uv_trans_vort + uv_trans) ----
@@ -275,7 +283,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 dxb / dyb * (sl(s1, 3, 2, 0, 1) - sl(s1, 3, 2))
                 + dyb / dxb * (sl(s2, 3, 2, 1, 0) - sl(s2, 3, 2)), 0.0)
 
-            hq2 = hq_of(2, ssh8)
+            hq2 = sl(hr8, M, 2) + sl(ssh8, M, 2) * float(ffs)
             a2 = (dy * dy) * mu_const * hq2 * str_t2
             b2 = (dx * dx) * mu_const * hq2 * str_t2
             rx_dif1 = jnp.where(
@@ -308,8 +316,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         up1 = sl(up8, M, 1)
         vp1 = sl(vp8, M, 1)
 
-        bp_u = hu1 * dxt * dyh / 2.0 / tau      # hhun == hhu (see docstring)
-        bp0_u = hup1 * dxt * dyh / 2.0 / tau
+        bp_u = hu1 * dxt * dyh * inv2tau   # hhun == hhu (see docstring)
+        bp0_u = hup1 * dxt * dyh * inv2tau
         slx = -g * (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) * dyh * hu1
         grx = (slx + rx_dif1 + rx_adv1
                + (sl(corio2, 2, 1) * (sl(v_c2, 2, 1, 1, 0) + sl(v_c2, 2, 1))
@@ -318,8 +326,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         un1 = jnp.where(
             wlcu1, (up1 * bp0_u + grx) / jnp.where(wlcu1, bp_u, 1.0), 0.0)
 
-        bp_v = hv1 * dyt * dxh / 2.0 / tau
-        bp0_v = hvp1 * dyt * dxh / 2.0 / tau
+        bp_v = hv1 * dyt * dxh * inv2tau
+        bp0_v = hvp1 * dyt * dxh * inv2tau
         sly = -g * (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) * dxh * hv1
         gry = (sly + ry_dif1 + ry_adv1
                - (sl(corio2, 2, 1) * (sl(u_c2, 2, 1, 0, 1) + sl(u_c2, 2, 1))
@@ -378,14 +386,14 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 ff2 = sl(ff8, M, 2)
                 # fluxes (tran_diff_fluxes_kernel): advective + diffusive
                 dfdx = sl(ff2, 2, 1, 1, 0) - sl(ff2, 2, 1)
-                mu_x = mu_const * dyh / dxt    # (mu+mu)/2 * factor(=1)
+                mu_x = mu_const * dyh * rdxt   # (mu+mu)/2 * factor(=1)
                 fx1 = jnp.where(
                     wlcu1t,
                     -u_new1 * hun1 * dyh
                     * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0)) / 2.0
                     + mu_x * hun1 * dfdx, 0.0)
                 dfdy = sl(ff2, 2, 1, 0, 1) - sl(ff2, 2, 1)
-                mu_y = mu_const * dxh / dyt
+                mu_y = mu_const * dxh * rdyt
                 fy1 = jnp.where(
                     wlcv1t,
                     -v_new1 * hvn1 * dxh
@@ -396,9 +404,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # bp = hhq_n*area/2tau with hhq_n = h_r,
                 # bp0 with hhq_p = h_r + sshp_new*ffs
                 hr0 = sl(hr8, M, 0)
-                bp = hr0 * dx * dy / tau / 2.0
+                bp = hr0 * dx * dy * inv2tau
                 bp0 = (hr0 + sshp_new0 * float(ffs)) \
-                    * dx * dy / tau / 2.0
+                    * dx * dy * inv2tau
                 rhs = (sl(fx1, 1, 0) - sl(fx1, 1, 0, -1, 0)
                        + sl(fy1, 1, 0) - sl(fy1, 1, 0, 0, -1))
                 ffp0 = sl(ffp8, M, 0)
@@ -501,4 +509,12 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
         # extend profiles into the y land margin so divisions stay finite
         rows[k, :YPAD] = f[0, 0]
         rows[k, YPAD + lay.ny:] = f[0, -1]
+    # rows 9-15: reciprocal profiles (see kernel) — metric divisions
+    # become multiplies on the VPU
+    with np.errstate(divide="ignore"):
+        rows[9] = np.float32(1.0) / (rows[0] * rows[1])   # 1/(dx*dy)
+        for k, src in ((10, 2), (11, 3), (12, 4), (13, 5), (14, 6),
+                       (15, 7)):
+            rows[k] = np.float32(1.0) / rows[src]
+    rows[9:16][~np.isfinite(rows[9:16])] = 0.0
     return rows

@@ -79,6 +79,28 @@ def test_fused_tracers_match_jnp():
             assert rel < 1e-6, (name, t, rel)
 
 
+def test_fused_viscosity_branch():
+    """Constant nonzero mu exercises the fused stress/uv_diff2 branch
+    (dead with the reference's zeroed mu)."""
+    grid, cfg, state = _case(1, True)
+    MU = 1000.0
+    state = dataclasses.replace(
+        state, mu=jax.numpy.full_like(state.mu, MU))
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True, mu_const=MU)
+    s = fm.pack(state)
+    s, ok2 = jax.jit(lambda c: fm.run_steps(c, 30))(s)
+    assert bool(ok2)
+    out = fm.unpack(s, state)
+    for name in ("ssh", "ubrtr", "vbrtr"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 2e-5, (name, rel)
+
+
 def test_fused_availability_checks():
     grid, cfg, state = _case(1, False)
     assert fused_available(grid, cfg)
