@@ -87,6 +87,21 @@ class OceanModel:
             self._grid_s, self._state_s = prepare(self.grid, self.state,
                                                   self.mesh)
 
+    def startup_report(self) -> str:
+        """Decomposition + memory diagnostics (the reference's DD INFO /
+        SYNC INFO / memory-profile startup prints)."""
+        from ..diag.memory import report as mem_report
+        from ..parallel.decomposition import mesh_split_report
+        px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
+        lines = []
+        rep = mesh_split_report(
+            (np.asarray(self.grid.lu) < 0.5).astype(np.int32), px, py)
+        lines.append(f"DD INFO: mesh {px}x{py}, wet fraction "
+                     f"{rep['wet_fraction']:.3f}, load-balance ratio "
+                     f"(max/mean wet points) {rep['balance_ratio']:.3f}")
+        lines.append(mem_report(self.state, self.grid))
+        return "\n".join(lines)
+
     # ------------------------------------------------------------------
     def _use_fused(self) -> bool:
         """The fused Pallas fast path applies to f32 single-device runs of
@@ -192,6 +207,9 @@ class OceanModel:
             if verbose:
                 print(f"MODEL: resumed from {checkpoint_path} "
                       f"at step {self.num_step}")
+
+        if verbose:
+            print(self.startup_report())
 
         # the fused-sharded runner packs/unpacks internally and consumes
         # the plain (unsharded) state view

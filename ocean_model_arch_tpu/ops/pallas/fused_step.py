@@ -166,28 +166,37 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points. The
         # weighted column aq = hq*dx*dy*lu is shared by all three interps.
         def interp_u(h, aq0):
-            """aq0 must carry halo h+1."""
+            """aq0 must carry halo h+1. slu in {0,1,2}: the reciprocal is
+            an exact select, no division."""
             slu = LU(h) + LU(h, 1, 0)
             w = slu > 0.5
+            rslu = jnp.where(slu > 1.5, 0.5, 1.0)
             return jnp.where(
                 w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0))
-                / jnp.where(w, slu, 1.0) * (rdxt * rdyh), 0.0)
+                * rslu * (rdxt * rdyh), 0.0)
 
         def interp_v(h, aq0):
             slu = LU(h) + LU(h, 0, 1)
             w = slu > 0.5
+            rslu = jnp.where(slu > 1.5, 0.5, 1.0)
             return jnp.where(
                 w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1))
-                / jnp.where(w, slu, 1.0) * (rdxh * rdyt), 0.0)
+                * rslu * (rdxh * rdyt), 0.0)
 
         def interp_h(h, aq0):
             q = [sl(aq0, h + 1, h, a, b)
                  for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
             slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
             w = slu > 0.5
+            # slu in {0..4}; select the reciprocal (1/3 rounds once, same
+            # as the division up to 1 ulp)
+            rslu = jnp.where(
+                slu > 3.5, 0.25,
+                jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
+                          jnp.where(slu > 1.5, 0.5, 1.0)))
             return jnp.where(
                 w, (q[0] + q[1] + q[2] + q[3])
-                / jnp.where(w, slu, 1.0) * (rdxb * rdyb), 0.0)
+                * rslu * (rdxb * rdyb), 0.0)
 
         def aq_of(h, src):
             hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)

@@ -82,3 +82,55 @@ class ShardHalo:
     def zp(self, f):
         lead = [(0, 0)] * (f.ndim - 2)
         return jnp.pad(f, lead + [(self.h, self.h), (self.h, self.h)])
+
+
+def halo_self_test(mesh, nx: int, ny: int,
+                   periodic_x: bool = False, periodic_y: bool = False,
+                   h: int = HALO) -> None:
+    """Runtime halo-exchange verification — the reference's sync_test
+    (shared/mpp/syncborder_block2D_gen_test.fi): fill the global field
+    with the analytic f(i, j) = i*j (1-based), exchange, and assert every
+    halo cell of every shard equals the analytic value (zero / wrapped
+    outside the domain). Raises AssertionError on mismatch.
+
+    Call it at startup with the production mesh, like the reference's
+    commented-in `call sync_test(domain, ocean_data%ssh)`
+    (init_data.f90:41-44).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    px, py = mesh.devices.shape
+    if nx % px or ny % py:
+        raise ValueError("extents must divide the mesh for the self-test")
+    i = np.arange(1, nx + 1)[:, None].astype(np.float64)
+    j = np.arange(1, ny + 1)[None, :].astype(np.float64)
+    f = jax.device_put(i * j, NamedSharding(mesh, P("x", "y")))
+
+    hp = ShardHalo(px, py, periodic_x, periodic_y, h=h)
+    ex = jax.jit(jax.shard_map(hp.ex, mesh=mesh, in_specs=P("x", "y"),
+                               out_specs=P("x", "y"), check_vma=False))
+    out = np.asarray(ex(f))
+    lx, ly = nx // px, ny // py
+    blocks = out.reshape(px, lx + 2 * h, py, ly + 2 * h)
+    gi = np.arange(-h, lx + h)
+    gj = np.arange(-h, ly + h)
+    for bi in range(px):
+        for bj in range(py):
+            gm = bi * lx + gi
+            gn = bj * ly + gj
+            if periodic_x:
+                gm = gm % nx
+            if periodic_y:
+                gn = gn % ny
+            want = np.where(
+                (gm[:, None] >= 0) & (gm[:, None] < nx)
+                & (gn[None, :] >= 0) & (gn[None, :] < ny),
+                (gm[:, None] + 1.0) * (gn[None, :] + 1.0), 0.0)
+            got = blocks[bi, :, bj, :]
+            if not np.array_equal(got, want):
+                bad = np.argwhere(got != want)[0]
+                raise AssertionError(
+                    f"halo self-test failed at shard ({bi},{bj}) "
+                    f"cell {tuple(bad)}: got {got[tuple(bad)]}, "
+                    f"want {want[tuple(bad)]}")
