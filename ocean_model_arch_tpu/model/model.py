@@ -116,19 +116,22 @@ class OceanModel:
     def _use_fused_sharded(self) -> bool:
         from .fused import fused_available
         on_tpu = jax.devices()[0].platform != "cpu"
+        px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
+        wide_enough = (self.grid.nx // px >= 8 and self.grid.ny // py >= 8)
         return (on_tpu
                 and self.mesh is not None
-                and self.cfg.parallel.mesh_y == 1
+                and wide_enough
                 and self.cfg.precision.state_dtype == np.float32
                 and fused_available(self.grid, self.cfg))
 
     def _make_runner(self, n_inner: int):
         tau = self.cfg.run.tau
         if self._use_fused_sharded():
-            from .fused_sharded import FusedShardedSWModel
+            from .fused_sharded2d import FusedSharded2DModel
             if not hasattr(self, "_fused_sh"):
-                self._fused_sh = FusedShardedSWModel(
-                    self.grid, self.cfg, tau, self.cfg.parallel.mesh_x)
+                self._fused_sh = FusedSharded2DModel(
+                    self.grid, self.cfg, tau,
+                    self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y)
             fs = self._fused_sh
             inner = fs.make_runner(n_inner)
 

@@ -1,0 +1,55 @@
+"""Fused Pallas step over full 2D meshes vs the single-device jnp path."""
+
+import jax
+import numpy as np
+import pytest
+
+from ocean_model_arch_tpu.config import (ModelConfig, Precision, SWConfig,
+                                         basinpar_flat)
+from ocean_model_arch_tpu.core.grid import build_grid
+from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+from ocean_model_arch_tpu.model.fused_sharded2d import FusedSharded2DModel
+from ocean_model_arch_tpu.model.init import init_ocean_state
+from ocean_model_arch_tpu.model.step import make_step, run_steps
+
+
+@pytest.fixture(scope="module")
+def case():
+    basin = basinpar_flat(70, 52, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    rng = np.random.RandomState(3)
+    mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    return grid, cfg, state, ref
+
+
+@pytest.mark.parametrize("px,py", [(1, 2), (2, 2), (2, 4), (4, 2), (8, 1)])
+def test_fused_2d_mesh_matches(case, px, py):
+    grid, cfg, state, ref = case
+    fm = FusedSharded2DModel(grid, cfg, 1.0, px, py, tx=8, interpret=True)
+    c = fm.pack(state)
+    c, ok = fm.make_runner(30)(c)
+    assert bool(ok)
+    fields = fm.extract(c)
+    pairs = [("ssh", fields[0], ref.ssh), ("sshp", fields[1], ref.sshp),
+             ("u", fields[2], ref.ubrtr), ("up", fields[3], ref.ubrtrp),
+             ("v", fields[4], ref.vbrtr), ("vp", fields[5], ref.vbrtrp),
+             ("ff", fields[6], ref.ff[0]), ("ffp", fields[7], ref.ffp[0])]
+    for name, a, b in pairs:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 1e-5, (name, rel)
+
+
+def test_narrow_shard_rejected(case):
+    grid, cfg, state, ref = case
+    with pytest.raises(ValueError, match="margin"):
+        FusedSharded2DModel(grid, cfg, 1.0, 1, 8, tx=8, interpret=True)
