@@ -55,7 +55,7 @@ def main():
     # long scan windows amortize the per-dispatch host/tunnel round-trip
     # (~40 ms here) against device compute; the whole window is one XLA
     # program (lax.scan), so compile cost is independent of n_inner
-    n_inner = 1000
+    n_inner = 2000
     if fused_available(grid, cfg):
         fm = FusedSWModel(grid, cfg, 1.0, tx=64)
         carry = fm.pack(state)

@@ -107,3 +107,36 @@ def test_land_points_untouched(flat_model):
     np.testing.assert_array_equal(np.asarray(st.ssh)[land], 0.0)
     np.testing.assert_array_equal(np.asarray(st.ubrtr)[land
                                   & (np.asarray(grid.lcu) < 0.5)], 0.0)
+
+
+def test_f32_drift_vs_f64():
+    """Production-precision error growth: f32 trajectory must track the
+    f64 one closely over 300 steps of the gravity-wave test (documented
+    error-growth characterization for the f32 production mode)."""
+    import jax
+
+    from ocean_model_arch_tpu.config import (ModelConfig, Precision,
+                                             SWConfig, basinpar_flat)
+    from ocean_model_arch_tpu.core.grid import build_grid
+    from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+    from ocean_model_arch_tpu.model.init import init_ocean_state
+    from ocean_model_arch_tpu.model.step import make_step, run_steps
+
+    basin = basinpar_flat(66, 50)
+    mask = frame_of_land_mask(66, 50)
+    outs = {}
+    for prec in (Precision.f64(), Precision.f32()):
+        cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                          precision=prec)
+        grid = build_grid(basin, mask, precision=prec)
+        state = init_ocean_state(grid, cfg)
+        st, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                           np.float32(1.0) if prec.state_dtype == np.float32
+                           else 1.0, 300)
+        assert bool(ok)
+        outs[str(prec.state_dtype)] = np.asarray(st.ssh, np.float64)
+    drift = np.abs(outs["float32"] - outs["float64"]).max()
+    scale = np.abs(outs["float64"]).max()
+    # observed drift is ~1e-6 relative after 300 steps; the bound leaves
+    # an order of magnitude of headroom
+    assert drift / scale < 1e-4, drift / scale
