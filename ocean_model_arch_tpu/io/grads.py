@@ -67,6 +67,50 @@ def read_record(path: str, nrec: int, nx: int, ny: int) -> np.ndarray:
     return out
 
 
+def read_ctl(ctl_path: str) -> dict:
+    """Parse a GrADS .ctl companion (ctl_file_read analog,
+    rw_ctl_file.f90:193-572): returns dset/undef/nx/ny/nz/nt/x0/hx/y0/hy/
+    varname — enough to locate and read the .dat records."""
+    out: dict = {}
+    with open(ctl_path) as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        t = lines[i].split()
+        i += 1
+        if not t:
+            continue
+        key = t[0].upper()
+        if key == "DSET":
+            out["dset"] = t[1].lstrip("^")
+        elif key == "TITLE":
+            out["title"] = " ".join(t[1:])
+        elif key == "UNDEF":
+            out["undef"] = float(t[1])
+        elif key in ("XDEF", "YDEF", "ZDEF", "TDEF"):
+            axis = key[0].lower()
+            out[f"n{axis}"] = int(t[1])
+            kind = t[2].upper()
+            if kind == "LINEAR" and axis in "xy":
+                out[f"{axis}0"] = float(t[3])
+                out[f"h{axis}"] = float(t[4])
+            elif kind == "LEVELS":
+                levels = [float(v) for v in t[3:]]
+                while len(levels) < out[f"n{axis}"] and i < len(lines):
+                    levels += [float(v) for v in lines[i].split()]
+                    i += 1
+                out[f"{axis}_levels"] = levels
+        elif key == "VARS":
+            nvars = int(t[1])
+            out["vars"] = []
+            for k in range(nvars):
+                vt = lines[i].split()
+                i += 1
+                out["vars"].append(vt[0])
+            out["varname"] = out["vars"][0] if out["vars"] else None
+    return out
+
+
 def write_ctl(dat_path: str, *, nx: int, ny: int, nz: int = 1, nt: int = 1,
               x0: float = 0.0, hx: float = 1.0,
               y0: float = 0.0, hy: float = 1.0,

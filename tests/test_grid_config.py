@@ -117,3 +117,24 @@ def test_par_files_roundtrip(tmp_path):
     r = load_runpar(str(run_par))
     assert r.num_step_max == 604
     assert r.output_every_steps == 60
+
+
+def test_irregular_grid_levels():
+    """xgr_type/ygr_type = 1: coordinates from explicit level arrays
+    (grid_base_init_kernel's irregular branches)."""
+    import dataclasses
+    nx, ny = 12, 10
+    x_levels = np.cumsum(np.linspace(0.05, 0.15, nx)) + 20.0
+    y_levels = np.cumsum(np.linspace(0.03, 0.08, ny)) + 40.0
+    basin = dataclasses.replace(
+        basinpar_flat(nx, ny), xgr_type=1, ygr_type=1,
+        x_levels=tuple(x_levels), y_levels=tuple(y_levels))
+    xt, yt, xu, yv, geo = mt.build_geo_metrics(basin)
+    np.testing.assert_allclose(xt, x_levels)
+    np.testing.assert_allclose(xu[:-1], (x_levels[:-1] + x_levels[1:]) / 2)
+    # dxt from xt diffs, dx from xu diffs (in metres), x-uniform in y
+    expect = np.float32(x_levels[3] - x_levels[2]) * PIP180_F32 * RAD_EARTH
+    np.testing.assert_allclose(geo.dxt[2, :], expect, rtol=1e-6)
+    expect_dy = np.float32(y_levels[4] - y_levels[3]) * PIP180_F32 * RAD_EARTH
+    np.testing.assert_allclose(geo.dyt[:, 3], expect_dy, rtol=1e-6)
+    assert np.all(geo.dx > 0) and np.all(np.isfinite(geo.dx))

@@ -139,3 +139,15 @@ def test_driver_sharded_mesh(tmp_path):
     out = OceanModel(cfg2, base_dir=d).run(verbose=False)
     np.testing.assert_allclose(np.asarray(out.ssh), np.asarray(ref.ssh),
                                rtol=0, atol=1e-12)
+
+
+def test_ctl_roundtrip(tmp_path):
+    p = str(tmp_path / "ssh.dat")
+    ctl = grads.write_ctl(p, nx=20, ny=14, nt=3, x0=27.5, hx=0.05,
+                          y0=41.0, hy=0.04, title="SSH, m", varname="ssh")
+    meta = grads.read_ctl(ctl)
+    assert meta["dset"] == "ssh.dat"
+    assert meta["nx"] == 20 and meta["ny"] == 14 and meta["nt"] == 3
+    assert abs(meta["x0"] - 27.5) < 1e-12 and abs(meta["hx"] - 0.05) < 1e-12
+    assert meta["varname"] == "ssh"
+    assert meta["undef"] < -1e31
