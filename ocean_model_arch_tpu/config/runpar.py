@@ -37,10 +37,14 @@ class RunConfig:
         """Steps between local outputs; 0 disables output.
 
         time_manager.f90:320-331: output when the step lands on a whole
-        multiple of the write period."""
+        multiple of the write period; a period > 1440 minutes means once
+        per day (time_manager.f90 comment on loc_data_wr_period)."""
         if self.loc_data_wr_period_min <= 0:
             return 0
-        return max(1, int(round(self.loc_data_wr_period_min * 60.0 / self.tau)))
+        period_min = self.loc_data_wr_period_min
+        if period_min > 1440.0:
+            period_min = 1440.0
+        return max(1, int(round(period_min * 60.0 / self.tau)))
 
 
 def load_runpar(path: str) -> RunConfig:
