@@ -8,9 +8,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
-
 def field_bytes(tree) -> dict[str, int]:
     out = {}
     if dataclasses.is_dataclass(tree):

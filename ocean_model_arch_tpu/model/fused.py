@@ -9,8 +9,6 @@ interchangeable with the reference formats.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,7 +18,6 @@ from ..core.grid import Grid
 from ..core.state import SWState
 from ..ops.pallas import fused_step as fsk
 from ..ops import sw_kernels as swk
-from .init import init_ocean_state
 from .step import GlobalHalo
 
 

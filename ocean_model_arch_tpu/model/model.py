@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (ModelConfig, Precision, load_basinpar, load_parallel,
+from ..config import (ModelConfig, load_basinpar, load_parallel,
                       load_runpar, load_sw)
 from ..core.grid import Grid, build_grid
 from ..core.state import SWState

@@ -12,7 +12,6 @@ but left unimplemented (_MPP_HYBRID_BLOCK_MODE_, README.md:56-57).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
