@@ -151,3 +151,34 @@ def test_ctl_roundtrip(tmp_path):
     assert abs(meta["x0"] - 27.5) < 1e-12 and abs(meta["hx"] - 0.05) < 1e-12
     assert meta["varname"] == "ssh"
     assert meta["undef"] < -1e31
+
+
+def test_driver_reads_binary_bathymetry(tmp_path):
+    """bottom_topography_file_name != none: real4 record ingestion
+    (init_grid_data, init_data.f90:112-121)."""
+    import dataclasses
+
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    nx, ny = 40, 30
+    d = _run_dir(tmp_path, "none", nx, ny, steps_min=0.5,
+                 duration_days=30.0 / 86400.0)
+    # depth ramp written in the reference record format
+    depth = np.zeros((nx, ny))
+    depth[2:-2, 2:-2] = 50.0 + np.linspace(0, 100, nx - 4)[:, None]
+    lu = np.zeros((nx, ny), np.float32)
+    lu[2:-2, 2:-2] = 1.0
+    topo = str(tmp_path / "topo.dat")
+    grads.write_record(topo, 1, depth, lu)
+    # point basin.par at it
+    bp = (tmp_path / "basin.par").read_text().replace(
+        "none : topo", "topo.dat : topo")
+    (tmp_path / "basin.par").write_text(bp)
+
+    cfg = load_config_dir(str(tmp_path))
+    m = OceanModel(cfg, base_dir=str(tmp_path))
+    hr = np.asarray(m.grid.hhq_rest)
+    np.testing.assert_allclose(hr[2:-2, 2:-2],
+                               depth[2:-2, 2:-2].astype(np.float32))
+    st = m.run(verbose=False)
+    assert np.isfinite(np.asarray(st.ssh)).all()
