@@ -96,25 +96,15 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     visc = bool(ksw and mu_const != 0.0)
 
     def kernel(*refs):
-        # memoized lane rolls: each (field, dn) pair is rotated once at
-        # full halo width, then every shifted view is a pure x-slice —
-        # lane rotates are the dominant VPU shuffle cost of the kernel
-        rolled: dict = {}
-
-        def R(a, dn):
-            if dn == 0:
-                return a
-            key = (id(a), dn)
-            if key not in rolled:
-                rolled[key] = _roll_y(a, dn, Ys)
-            return rolled[key]
-
         def sl(a, h_in, h_out, dm=0, dn=0):
-            """Shifted view: halo h_in -> h_out, offset (dm, dn)."""
-            a = R(a, dn)
+            """Shifted view: halo h_in -> h_out, offset (dm, dn). The
+            lane roll runs on the sliced (narrow) array — rolling full-
+            width arrays first and memoizing was measured to explode
+            Mosaic compile time ~10x for a ~2% runtime gain."""
             off = h_in - h_out + dm
             rows = a.shape[0] - 2 * h_in + 2 * h_out
-            return jax.lax.slice(a, (off, 0), (off + rows, Ys))
+            out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
+            return _roll_y(out, dn, Ys)
 
         (lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
          vp_ref, met_ref) = refs[:9]
