@@ -34,3 +34,25 @@ def test_kernel_bench_runs():
     assert all(v > 0 for v in res.values())
     table = kernel_bench.format_table(res, 40 * 30)
     assert "sw_update_uv" in table
+
+
+def test_calendar():
+    from ocean_model_arch_tpu.utils.calendar import model_time
+
+    t = model_time(0, 1.0, 2012)
+    assert (t.year, t.month, t.day, t.hour, t.minute) == (2012, 1, 1, 0, 0)
+    # 86400 one-second steps = Jan 2nd
+    t = model_time(86400, 1.0, 2012)
+    assert (t.year, t.month, t.day) == (2012, 1, 2)
+    # 60 days in non-leap mode: Jan(31) + Feb(28) -> Mar 2
+    t = model_time(60 * 86400, 1.0, 2013, yr_type=0)
+    assert (t.year, t.month, t.day) == (2013, 3, 2)
+    # leap mode: 2012 is divisible by 4 -> Feb has 29 -> Mar 1
+    t = model_time(60 * 86400, 1.0, 2012, yr_type=1)
+    assert (t.year, t.month, t.day) == (2012, 3, 1)
+    # year rollover with leap calendar
+    t = model_time(366 * 86400, 1.0, 2012, yr_type=1)
+    assert (t.year, t.month, t.day) == (2013, 1, 1)
+    t = model_time(365 * 86400, 1.0, 2013, yr_type=0)
+    assert (t.year, t.month, t.day) == (2014, 1, 1)
+    assert "2014-01-01" in t.stamp()
