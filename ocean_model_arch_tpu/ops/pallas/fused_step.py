@@ -49,6 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.constants import FREE_FALL_ACC
 
 MARGIN = 8          # x margin rows (= max halo; 8-aligned window starts)
+# Kernel graph mode. False (default): per-stage halo shaving via x-slices —
+# fastest runtime (0.217 ms/step on the 1525x1115 config) but the shape
+# diversity makes Mosaic compiles take minutes (one-time, persistently
+# cached). True: every stage at the full window with roll-shifts — compiles
+# in seconds but sublane rolls cost ~2.5x runtime. Flip for fast iteration.
+UNIFORM_SHAPES = False
 YPAD = 2            # extra land columns each side in y
 
 
@@ -95,16 +101,34 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     ts = float(time_smooth)
     visc = bool(ksw and mu_const != 0.0)
 
+    uniform = UNIFORM_SHAPES
+
     def kernel(*refs):
-        def sl(a, h_in, h_out, dm=0, dn=0):
-            """Shifted view: halo h_in -> h_out, offset (dm, dn). The
-            lane roll runs on the sliced (narrow) array — rolling full-
-            width arrays first and memoizing was measured to explode
-            Mosaic compile time ~10x for a ~2% runtime gain."""
-            off = h_in - h_out + dm
-            rows = a.shape[0] - 2 * h_in + 2 * h_out
-            out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
-            return _roll_y(out, dn, Ys)
+        if uniform:
+            # Uniform-shape mode: every stage works on the full window
+            # (tx + 2*MARGIN rows); shifts are rolls in BOTH axes, halo
+            # bookkeeping collapses. Wrap-around garbage stays within the
+            # margins (cumulative stencil reach <= 4 < MARGIN — the same
+            # argument as the lane rolls), and the final output slice
+            # drops them. One shape for the whole graph keeps the Mosaic
+            # compile fast; the per-stage extra rows cost ~(1 + 2M/tx)
+            # redundant VPU work.
+            def sl(a, h_in, h_out, dm=0, dn=0):
+                out = a
+                if dm:
+                    out = pltpu.roll(out, (-dm) % out.shape[0], 0)
+                return _roll_y(out, dn, Ys)
+        else:
+            def sl(a, h_in, h_out, dm=0, dn=0):
+                """Shifted view: halo h_in -> h_out, offset (dm, dn)."""
+                off = h_in - h_out + dm
+                rows = a.shape[0] - 2 * h_in + 2 * h_out
+                out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
+                return _roll_y(out, dn, Ys)
+
+        def fin(x):
+            """Final output view: drop the margins in uniform mode."""
+            return x[M:-M, :] if uniform else x
 
         (lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
          vp_ref, met_ref) = refs[:9]
@@ -352,14 +376,14 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
         sshp_new0 = jnp.where(
             wlu0, ssh0 + ts * (sshn0 - 2.0 * ssh0 + sshp0) / 2.0, sshp0)
-        ssh_o[...] = ssh_new0
-        sshp_o[...] = sshp_new0
-        u_o[...] = jnp.where(wlcu0, un0, u0)
-        up_o[...] = jnp.where(
-            wlcu0, u0 + ts * (un0 - 2.0 * u0 + up0) / 2.0, up0)
-        v_o[...] = jnp.where(wlcv0, vn0, v0)
-        vp_o[...] = jnp.where(
-            wlcv0, v0 + ts * (vn0 - 2.0 * v0 + vp0) / 2.0, vp0)
+        ssh_o[...] = fin(ssh_new0)
+        sshp_o[...] = fin(sshp_new0)
+        u_o[...] = fin(jnp.where(wlcu0, un0, u0))
+        up_o[...] = fin(jnp.where(
+            wlcu0, u0 + ts * (un0 - 2.0 * u0 + up0) / 2.0, up0))
+        v_o[...] = fin(jnp.where(wlcv0, vn0, v0))
+        vp_o[...] = fin(jnp.where(
+            wlcv0, v0 + ts * (vn0 - 2.0 * v0 + vp0) / 2.0, vp0))
 
         # ---- tracer pass (expl_tracer, runs after the SW step) ----
         if n_tracers:
@@ -414,10 +438,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     wlu0, (bp0 * ffp0 + rhs) / jnp.where(wlu0, bp, 1.0),
                     0.0)
                 # filter + rotation (tracer_next_step_kernel)
-                ff_o[...] = jnp.where(wlu0, ffn0, ff0)
-                ffp_o[...] = jnp.where(
+                ff_o[...] = fin(jnp.where(wlu0, ffn0, ff0))
+                ffp_o[...] = fin(jnp.where(
                     wlu0, ff0 + ts * (ffn0 - 2.0 * ff0 + ffp0) / 2.0,
-                    ffp0)
+                    ffp0))
 
     return kernel
 
