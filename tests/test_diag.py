@@ -56,3 +56,16 @@ def test_calendar():
     t = model_time(365 * 86400, 1.0, 2013, yr_type=0)
     assert (t.year, t.month, t.day) == (2014, 1, 1)
     assert "2014-01-01" in t.stamp()
+
+
+def test_profiling_helpers():
+    import jax.numpy as jnp
+
+    from ocean_model_arch_tpu.utils.profiling import (comm_fraction_estimate,
+                                                      time_fn)
+    import jax
+    f = jax.jit(lambda x: (x * 2).sum())
+    compile_s, steady_s = time_fn(f, jnp.ones((64, 64)), reps=3)
+    assert compile_s > 0 and steady_s > 0
+    assert comm_fraction_estimate(1.0, 1.0) == 0.0
+    assert abs(comm_fraction_estimate(2.0, 1.0) - 0.5) < 1e-12
