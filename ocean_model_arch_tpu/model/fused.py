@@ -37,7 +37,14 @@ class FusedSWModel:
         self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
                           else 0)
         self.lay = fsk.make_layout(grid.nx, grid.ny, tx)
-        met = fsk.metrics_profile_from_grid(grid, self.lay)  # raises if 2D
+        # x-uniform metrics ride as latitude profiles (free broadcast);
+        # bipolar/curvilinear grids stream full (16, Xs, Ys) planes
+        try:
+            met = fsk.metrics_profile_from_grid(grid, self.lay)
+            self.metrics_2d = False
+        except ValueError:
+            met = fsk.metrics_full_from_grid(grid, self.lay)
+            self.metrics_2d = True
         lu_s = np.zeros((self.lay.Xs, self.lay.Ys), np.float32)
         lu_s[fsk.MARGIN:fsk.MARGIN + grid.nx,
              fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.lu)
@@ -52,7 +59,7 @@ class FusedSWModel:
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
             self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
-            vmem_limit_bytes=vmem_limit_bytes)
+            vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------
@@ -119,13 +126,19 @@ class FusedSWModel:
         return s6, ok
 
 
-def fused_available(grid: Grid, cfg: ModelConfig) -> bool:
-    """Whether the fused fast path supports this configuration."""
+def fused_available(grid: Grid, cfg: ModelConfig,
+                    sharded: bool = False) -> bool:
+    """Whether the fused fast path supports this configuration.
+    x-varying (bipolar) metrics are handled by the 2D-metrics kernel
+    variant on a single device; the sharded fused drivers carry metric
+    profiles only (``sharded=True``), so there they fall back to the
+    jnp path. Periodic boundaries are jnp-path-only everywhere."""
     if grid.periodic_x or grid.periodic_y:
         return False
-    try:
-        lay = fsk.make_layout(grid.nx, grid.ny)
-        fsk.metrics_profile_from_grid(grid, lay)
-        return True
-    except ValueError:
-        return False
+    if sharded:
+        try:
+            lay = fsk.make_layout(grid.nx, grid.ny)
+            fsk.metrics_profile_from_grid(grid, lay)
+        except ValueError:
+            return False
+    return True

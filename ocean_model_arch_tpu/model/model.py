@@ -122,7 +122,7 @@ class OceanModel:
                 and self.mesh is not None
                 and wide_enough
                 and self.cfg.precision.state_dtype == np.float32
-                and fused_available(self.grid, self.cfg))
+                and fused_available(self.grid, self.cfg, sharded=True))
 
     def _make_runner(self, n_inner: int):
         tau = self.cfg.run.tau
@@ -213,6 +213,15 @@ class OceanModel:
 
         if verbose:
             print(self.startup_report())
+            if self._use_fused_sharded():
+                path = "fused Pallas kernel, sharded"
+            elif self.mesh is not None:
+                path = "jnp composition, sharded"
+            elif self._use_fused():
+                path = "fused Pallas kernel"
+            else:
+                path = "jnp composition"
+            print(f"MODEL: compute path: {path}")
 
         # the fused-sharded runner packs/unpacks internally and consumes
         # the plain (unsharded) state view

@@ -94,7 +94,7 @@ def _roll_y(a, dn: int, ys: int):
 
 def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  ffs: int, trans: int, ksw: int, mu_const: float,
-                 n_tracers: int = 0):
+                 n_tracers: int = 0, metrics_2d: bool = False):
     M = MARGIN
     Ys = lay.Ys
     g = float(FREE_FALL_ACC)
@@ -145,23 +145,21 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         up8 = up_ref[...]
         v8 = v_ref[...]
         vp8 = vp_ref[...]
-        met = met_ref[...]      # (16, Ys) latitude profiles
+        # Metric planes: 0 dx, 1 dy, 2 dxt, 3 dyt, 4 dxh, 5 dyh, 6 dxb,
+        # 7 dyb, 8 rlh_s, 9 1/(dx*dy), 10-15 reciprocals of 2-7 (host-
+        # precomputed — divisions are the dominant VPU cost otherwise).
+        # Profile mode: met is (16, Ys) latitude rows, broadcast across
+        # rows at any halo (x-uniform metrics). 2D mode (bipolar /
+        # curvilinear grids): met is (16, Xs, Ys) full planes; each use
+        # site names its halo so the window is sliced like the state.
+        if metrics_2d:
+            def MT(k, h, dm=0, dn=0):
+                return sl(met_ref[k], M, h, dm, dn)
+        else:
+            met = met_ref[...]      # (16, Ys) latitude profiles
 
-        def mrow(k):
-            return met[k:k + 1, :]
-
-        dx, dy = mrow(0), mrow(1)
-        dxt, dyt = mrow(2), mrow(3)
-        dxh, dyh = mrow(4), mrow(5)
-        dxb, dyb = mrow(6), mrow(7)
-        rlh_s = mrow(8)
-        # reciprocal profiles (divisions are the dominant VPU cost of the
-        # interpolation/update chains; one recip per metric per row is
-        # precomputed host-side)
-        rsq = mrow(9)              # 1/(dx*dy)
-        rdxt, rdyt = mrow(10), mrow(11)
-        rdxh, rdyh = mrow(12), mrow(13)
-        rdxb, rdyb = mrow(14), mrow(15)
+            def MT(k, h, dm=0, dn=0):
+                return _roll_y(met[k:k + 1, :], dn, Ys)
         inv2tau = float(1.0 / (2.0 * tau))
 
         def LU(h, dm=0, dn=0):
@@ -179,42 +177,40 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         # ---- depth interpolations (hh_init/hh_update, depth.f90) ----
         # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points. The
         # weighted column aq = hq*dx*dy*lu is shared by all three interps.
+        # No wet-select is needed: aq carries the lu factor, so an all-land
+        # neighborhood yields an exactly-zero numerator (and rslu = 1).
         def interp_u(h, aq0):
             """aq0 must carry halo h+1. slu in {0,1,2}: the reciprocal is
             an exact select, no division."""
             slu = LU(h) + LU(h, 1, 0)
-            w = slu > 0.5
             rslu = jnp.where(slu > 1.5, 0.5, 1.0)
-            return jnp.where(
-                w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0))
-                * rslu * (rdxt * rdyh), 0.0)
+            return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0)) \
+                * rslu * (MT(10, h) * MT(13, h))   # 1/(dxt*dyh)
 
         def interp_v(h, aq0):
             slu = LU(h) + LU(h, 0, 1)
-            w = slu > 0.5
             rslu = jnp.where(slu > 1.5, 0.5, 1.0)
-            return jnp.where(
-                w, (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1))
-                * rslu * (rdxh * rdyt), 0.0)
+            return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1)) \
+                * rslu * (MT(12, h) * MT(11, h))   # 1/(dxh*dyt)
 
         def interp_h(h, aq0):
             q = [sl(aq0, h + 1, h, a, b)
                  for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
             slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
-            w = slu > 0.5
             # slu in {0..4}; select the reciprocal (1/3 rounds once, same
             # as the division up to 1 ulp)
             rslu = jnp.where(
                 slu > 3.5, 0.25,
                 jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
                           jnp.where(slu > 1.5, 0.5, 1.0)))
-            return jnp.where(
-                w, (q[0] + q[1] + q[2] + q[3])
-                * rslu * (rdxb * rdyb), 0.0)
+            return (q[0] + q[1] + q[2] + q[3]) * rslu \
+                * (MT(14, h) * MT(15, h))          # 1/(dxb*dyb)
 
         def aq_of(h, src):
             hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)
-            return hq * dx * dy * LU(h)
+            # (dx*dy) groups metric*metric so the chain stays 2 full-
+            # array muls off the state in profile mode
+            return hq * (MT(0, h) * MT(1, h)) * LU(h)
 
         # current-level depths (== new-level: hqn = h_r + ssh = hq);
         # halo 3 so the deeper chains below stay in budget
@@ -228,64 +224,70 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         hvp1 = interp_v(1, aq_prev2)
 
         # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
-        uflux3 = sl(u8, M, 3) * hu3 * dyh
-        vflux3 = sl(v8, M, 3) * hv3 * dxh
+        # uflux3/vflux3 double as uv_trans's u*dyh*hu / v*dxh*hv operands
+        uflux3 = sl(u8, M, 3) * hu3 * MT(5, 3)
+        vflux3 = sl(v8, M, 3) * hv3 * MT(4, 3)
         wlu2 = LU(2) > 0.5
         div2 = (sl(uflux3, 3, 2) - sl(uflux3, 3, 2, -1, 0)
-                + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) * rsq
+                + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) * MT(9, 2)
         sshn2 = jnp.where(wlu2, sl(sshp8, M, 2) + 2.0 * tau * (-div2), 0.0)
+
+        # wet masks shared by advection / viscosity / momentum / tracers
+        wlcu1 = WLCU(1)
+        wlcv1 = WLCV(1)
+        u_c = sl(u8, M, 2)
+        v_c = sl(v8, M, 2)
 
         # ---- momentum advection (uv_trans_vort + uv_trans) ----
         if trans:
             wluu2 = WLUU(2)
-            vd_t = sl(v8, M, 3) * dyt          # v*dyt at h3
-            ud_t = sl(u8, M, 3) * dxt
+            vd_t = sl(v8, M, 3) * MT(3, 3)     # v*dyt at h3
+            ud_t = sl(u8, M, 3) * MT(2, 3)
             vort2 = jnp.where(
                 wluu2,
                 (sl(vd_t, 3, 2, 1, 0) - sl(vd_t, 3, 2))
                 - (sl(ud_t, 3, 2, 0, 1) - sl(ud_t, 3, 2))
-                - ((sl(v8, M, 2, 1, 0) - sl(v8, M, 2)) * dyb
-                   - (sl(u8, M, 2, 0, 1) - sl(u8, M, 2)) * dxb), 0.0)
+                - ((sl(v8, M, 2, 1, 0) - v_c) * MT(7, 2)
+                   - (sl(u8, M, 2, 0, 1) - u_c) * MT(6, 2)), 0.0)
 
-            ud3 = sl(u8, M, 3) * dyh * hu3     # u*dyh*hu at h3
-            vd3 = sl(v8, M, 3) * dxh * hv3
+            ud3 = uflux3                       # u*dyh*hu at h3
+            vd3 = vflux3
             vorth2 = vort2 * sl(hh3, 3, 2)
             luu2f = jnp.where(wluu2, 1.0, 0.0)
-            u_c = sl(u8, M, 2)
-            v_c = sl(v8, M, 2)
 
-            fx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 1, 0)) / 2.0 \
-                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, 1, 0)) / 2.0
-            fx_m = (sl(ud3, 3, 1) + sl(ud3, 3, 1, -1, 0)) / 2.0 \
-                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, -1, 0)) / 2.0
-            fy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 1, 0)) / 2.0 \
-                * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1)) / 2.0 \
-                * sl(luu2f, 2, 1)
-            fy_m = (sl(vd3, 3, 1, 0, -1) + sl(vd3, 3, 1, 1, -1)) / 2.0 \
-                * (sl(u_c, 2, 1, 0, -1) + sl(u_c, 2, 1)) / 2.0 \
-                * sl(luu2f, 2, 1, 0, -1)
+            # flux products: (a+b)(c+d)/4 with one constant multiply
+            fx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 1, 0)) \
+                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, 1, 0)) * 0.25
+            fx_m = (sl(ud3, 3, 1) + sl(ud3, 3, 1, -1, 0)) \
+                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, -1, 0)) * 0.25
+            fy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 1, 0)) \
+                * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1)) \
+                * (sl(luu2f, 2, 1) * 0.25)
+            fy_m = (sl(vd3, 3, 1, 0, -1) + sl(vd3, 3, 1, 1, -1)) \
+                * (sl(u_c, 2, 1, 0, -1) + sl(u_c, 2, 1)) \
+                * (sl(luu2f, 2, 1, 0, -1) * 0.25)
             rx_adv1 = jnp.where(
-                WLCU(1),
+                wlcu1,
                 -(fx_p - fx_m + fy_p - fy_m)
                 + (sl(vorth2, 2, 1) * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1))
                    + sl(vorth2, 2, 1, 0, -1)
-                   * (sl(v_c, 2, 1, 1, -1) + sl(v_c, 2, 1, 0, -1))) / 4.0,
+                   * (sl(v_c, 2, 1, 1, -1) + sl(v_c, 2, 1, 0, -1))) * 0.25,
                 0.0)
 
-            gy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, 1)) / 2.0 \
-                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, 1)) / 2.0
-            gy_m = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, -1)) / 2.0 \
-                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, -1)) / 2.0
-            gx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 0, 1)) / 2.0 \
-                * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1)) / 2.0
-            gx_m = (sl(ud3, 3, 1, -1, 0) + sl(ud3, 3, 1, -1, 1)) / 2.0 \
-                * (sl(v_c, 2, 1, -1, 0) + sl(v_c, 2, 1)) / 2.0
+            gy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, 1)) \
+                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, 1)) * 0.25
+            gy_m = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, -1)) \
+                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, -1)) * 0.25
+            gx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 0, 1)) \
+                * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1)) * 0.25
+            gx_m = (sl(ud3, 3, 1, -1, 0) + sl(ud3, 3, 1, -1, 1)) \
+                * (sl(v_c, 2, 1, -1, 0) + sl(v_c, 2, 1)) * 0.25
             ry_adv1 = jnp.where(
-                WLCV(1),
+                wlcv1,
                 -(gx_p - gx_m + gy_p - gy_m)
                 - (sl(vorth2, 2, 1) * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1))
                    + sl(vorth2, 2, 1, -1, 0)
-                   * (sl(u_c, 2, 1, -1, 1) + sl(u_c, 2, 1, -1, 0))) / 4.0,
+                   * (sl(u_c, 2, 1, -1, 1) + sl(u_c, 2, 1, -1, 0))) * 0.25,
                 0.0)
         else:
             rx_adv1 = 0.0
@@ -293,69 +295,79 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 
         # ---- lateral viscosity (stress_components + uv_diff2) ----
         if visc:
-            q3 = sl(up8, M, 3) / dyh
-            r3 = sl(vp8, M, 3) / dxh
+            q3 = sl(up8, M, 3) * MT(13, 3)
+            r3 = sl(vp8, M, 3) * MT(12, 3)
+            dy_dx = MT(1, 2) / MT(0, 2)        # profile mode: row ratios,
+            dx_dy = MT(0, 2) / MT(1, 2)        # the divisions touch Ys pts
             str_t2 = jnp.where(
-                LU(2) > 0.5,
-                dy / dx * (sl(q3, 3, 2) - sl(q3, 3, 2, -1, 0))
-                - dx / dy * (sl(r3, 3, 2) - sl(r3, 3, 2, 0, -1)), 0.0)
-            s1 = sl(up8, M, 3) / dxt
-            s2 = sl(vp8, M, 3) / dyt
+                wlu2,
+                dy_dx * (sl(q3, 3, 2) - sl(q3, 3, 2, -1, 0))
+                - dx_dy * (sl(r3, 3, 2) - sl(r3, 3, 2, 0, -1)), 0.0)
+            s1 = sl(up8, M, 3) * MT(10, 3)
+            s2 = sl(vp8, M, 3) * MT(11, 3)
             str_s2 = jnp.where(
                 WLUU(2),
-                dxb / dyb * (sl(s1, 3, 2, 0, 1) - sl(s1, 3, 2))
-                + dyb / dxb * (sl(s2, 3, 2, 1, 0) - sl(s2, 3, 2)), 0.0)
+                (MT(6, 2) * MT(15, 2)) * (sl(s1, 3, 2, 0, 1)
+                                          - sl(s1, 3, 2))
+                + (MT(7, 2) * MT(14, 2)) * (sl(s2, 3, 2, 1, 0)
+                                            - sl(s2, 3, 2)), 0.0)
 
             hq2 = sl(hr8, M, 2) + sl(ssh8, M, 2) * float(ffs)
-            a2 = (dy * dy) * mu_const * hq2 * str_t2
-            b2 = (dx * dx) * mu_const * hq2 * str_t2
+            a2 = (MT(1, 2) * MT(1, 2) * mu_const) * hq2 * str_t2
+            b2 = (MT(0, 2) * MT(0, 2) * mu_const) * hq2 * str_t2
+            def dxb2mu(dn):
+                return MT(6, 1, 0, dn) * MT(6, 1, 0, dn) * mu_const
+            def dyb2mu(dm):
+                return MT(7, 1, dm, 0) * MT(7, 1, dm, 0) * mu_const
             rx_dif1 = jnp.where(
-                WLCU(1),
-                (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) / dyh
-                + (dxb * dxb * mu_const * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
-                   - _roll_y(dxb * dxb, -1, Ys) * mu_const
-                   * sl(hh3, 3, 1, 0, -1) * sl(str_s2, 2, 1, 0, -1)) / dxt,
+                wlcu1,
+                (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) * MT(13, 1)
+                + (dxb2mu(0) * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
+                   - dxb2mu(-1)
+                   * sl(hh3, 3, 1, 0, -1) * sl(str_s2, 2, 1, 0, -1))
+                * MT(10, 1),
                 0.0)
             ry_dif1 = jnp.where(
-                WLCV(1),
-                -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) / dxh
-                + (dyb * dyb * mu_const * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
-                   - dyb * dyb * mu_const
-                   * sl(hh3, 3, 1, -1, 0) * sl(str_s2, 2, 1, -1, 0)) / dyt,
+                wlcv1,
+                -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) * MT(12, 1)
+                + (dyb2mu(0) * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
+                   - dyb2mu(-1)
+                   * sl(hh3, 3, 1, -1, 0) * sl(str_s2, 2, 1, -1, 0))
+                * MT(11, 1),
                 0.0)
         else:
             rx_dif1 = 0.0
             ry_dif1 = 0.0
 
         # ---- momentum update at halo 1 (sw_update_uv) ----
-        wlcu1 = WLCU(1)
-        wlcv1 = WLCV(1)
         hu1 = sl(hu3, 3, 1)
         hv1 = sl(hv3, 3, 1)
-        corio2 = rlh_s * sl(hh3, 3, 2) * dxb * dyb
+        corio2 = (MT(8, 2) * MT(6, 2) * MT(7, 2)) * sl(hh3, 3, 2)
         ssh_c2 = sl(ssh8, M, 2)
-        u_c2 = sl(u8, M, 2)
-        v_c2 = sl(v8, M, 2)
         up1 = sl(up8, M, 1)
         vp1 = sl(vp8, M, 1)
 
-        bp_u = hu1 * dxt * dyh * inv2tau   # hhun == hhu (see docstring)
-        bp0_u = hup1 * dxt * dyh * inv2tau
-        slx = -g * (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) * dyh * hu1
+        bpm_u = MT(2, 1) * MT(5, 1) * inv2tau   # dxt*dyh/2tau
+        bp_u = hu1 * bpm_u                  # hhun == hhu (see docstring)
+        bp0_u = hup1 * bpm_u
+        slx = (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) \
+            * hu1 * (MT(5, 1) * (-g))
         grx = (slx + rx_dif1 + rx_adv1
-               + (sl(corio2, 2, 1) * (sl(v_c2, 2, 1, 1, 0) + sl(v_c2, 2, 1))
+               + (sl(corio2, 2, 1) * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1))
                   + sl(corio2, 2, 1, 0, -1)
-                  * (sl(v_c2, 2, 1, 1, -1) + sl(v_c2, 2, 1, 0, -1))) / 4.0)
+                  * (sl(v_c, 2, 1, 1, -1) + sl(v_c, 2, 1, 0, -1))) * 0.25)
         un1 = jnp.where(
             wlcu1, (up1 * bp0_u + grx) / jnp.where(wlcu1, bp_u, 1.0), 0.0)
 
-        bp_v = hv1 * dyt * dxh * inv2tau
-        bp0_v = hvp1 * dyt * dxh * inv2tau
-        sly = -g * (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) * dxh * hv1
+        bpm_v = MT(3, 1) * MT(4, 1) * inv2tau   # dyt*dxh/2tau
+        bp_v = hv1 * bpm_v
+        bp0_v = hvp1 * bpm_v
+        sly = (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) \
+            * hv1 * (MT(4, 1) * (-g))
         gry = (sly + ry_dif1 + ry_adv1
-               - (sl(corio2, 2, 1) * (sl(u_c2, 2, 1, 0, 1) + sl(u_c2, 2, 1))
+               - (sl(corio2, 2, 1) * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1))
                   + sl(corio2, 2, 1, -1, 0)
-                  * (sl(u_c2, 2, 1, -1, 1) + sl(u_c2, 2, 1, -1, 0))) / 4.0)
+                  * (sl(u_c, 2, 1, -1, 1) + sl(u_c, 2, 1, -1, 0))) * 0.25)
         vn1 = jnp.where(
             wlcv1, (vp1 * bp0_v + gry) / jnp.where(wlcv1, bp_v, 1.0), 0.0)
 
@@ -373,33 +385,34 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         up0 = sl(up8, M, 0)
         vp0 = sl(vp8, M, 0)
 
+        ts2 = ts * 0.5                      # trace-time constant fold
         ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
         sshp_new0 = jnp.where(
-            wlu0, ssh0 + ts * (sshn0 - 2.0 * ssh0 + sshp0) / 2.0, sshp0)
+            wlu0, ssh0 + ts2 * (sshn0 - 2.0 * ssh0 + sshp0), sshp0)
         ssh_o[...] = fin(ssh_new0)
         sshp_o[...] = fin(sshp_new0)
         u_o[...] = fin(jnp.where(wlcu0, un0, u0))
         up_o[...] = fin(jnp.where(
-            wlcu0, u0 + ts * (un0 - 2.0 * u0 + up0) / 2.0, up0))
+            wlcu0, u0 + ts2 * (un0 - 2.0 * u0 + up0), up0))
         v_o[...] = fin(jnp.where(wlcv0, vn0, v0))
         vp_o[...] = fin(jnp.where(
-            wlcv0, v0 + ts * (vn0 - 2.0 * v0 + vp0) / 2.0, vp0))
+            wlcv0, v0 + ts2 * (vn0 - 2.0 * v0 + vp0), vp0))
 
         # ---- tracer pass (expl_tracer, runs after the SW step) ----
         if n_tracers:
             # post-step depths: hh_init from the NEW (ssh, sshp) sets
             # hhu = interp(h_r + ssh_new), hhq_n = h_r,
             # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
-            ssh_new2 = jnp.where(LU(2) > 0.5, sshn2, sl(ssh8, M, 2))
+            ssh_new2 = jnp.where(wlu2, sshn2, ssh_c2)
             aq_new2 = (sl(hr8, M, 2) + ssh_new2 * float(ffs)) \
-                * dx * dy * LU(2)
+                * (MT(0, 2) * MT(1, 2)) * LU(2)
             hun1 = interp_u(1, aq_new2)
             hvn1 = interp_v(1, aq_new2)
-            u_new1 = jnp.where(WLCU(1), un1, sl(u8, M, 1))
-            v_new1 = jnp.where(WLCV(1), vn1, sl(v8, M, 1))
+            u_new1 = jnp.where(wlcu1, un1, sl(u8, M, 1))
+            v_new1 = jnp.where(wlcv1, vn1, sl(v8, M, 1))
 
-            wlcu1t = WLCU(1)
-            wlcv1t = WLCV(1)
+            wlcu1t = wlcu1
+            wlcv1t = wlcv1
             for t in range(n_tracers):
                 ff8 = tr_refs[2 * t][...]
                 ffp8 = tr_refs[2 * t + 1][...]
@@ -409,27 +422,30 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 ff2 = sl(ff8, M, 2)
                 # fluxes (tran_diff_fluxes_kernel): advective + diffusive
                 dfdx = sl(ff2, 2, 1, 1, 0) - sl(ff2, 2, 1)
-                mu_x = mu_const * dyh * rdxt   # (mu+mu)/2 * factor(=1)
+                # (mu+mu)/2 * factor(=1) * dyh/dxt
+                mu_x = mu_const * MT(5, 1) * MT(10, 1)
                 fx1 = jnp.where(
                     wlcu1t,
-                    -u_new1 * hun1 * dyh
-                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0)) / 2.0
+                    (u_new1 * hun1)
+                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0))
+                    * (MT(5, 1) * -0.5)
                     + mu_x * hun1 * dfdx, 0.0)
                 dfdy = sl(ff2, 2, 1, 0, 1) - sl(ff2, 2, 1)
-                mu_y = mu_const * dxh * rdyt
+                mu_y = mu_const * MT(4, 1) * MT(11, 1)
                 fy1 = jnp.where(
                     wlcv1t,
-                    -v_new1 * hvn1 * dxh
-                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1)) / 2.0
+                    (v_new1 * hvn1)
+                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1))
+                    * (MT(4, 1) * -0.5)
                     + mu_y * hvn1 * dfdy, 0.0)
 
                 # leapfrog update (tran_diff_tracer_kernel):
                 # bp = hhq_n*area/2tau with hhq_n = h_r,
                 # bp0 with hhq_p = h_r + sshp_new*ffs
                 hr0 = sl(hr8, M, 0)
-                bp = hr0 * dx * dy * inv2tau
-                bp0 = (hr0 + sshp_new0 * float(ffs)) \
-                    * dx * dy * inv2tau
+                area0 = MT(0, 0) * MT(1, 0) * inv2tau
+                bp = hr0 * area0
+                bp0 = (hr0 + sshp_new0 * float(ffs)) * area0
                 rhs = (sl(fx1, 1, 0) - sl(fx1, 1, 0, -1, 0)
                        + sl(fy1, 1, 0) - sl(fy1, 1, 0, 0, -1))
                 ffp0 = sl(ffp8, M, 0)
@@ -440,7 +456,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # filter + rotation (tracer_next_step_kernel)
                 ff_o[...] = fin(jnp.where(wlu0, ffn0, ff0))
                 ffp_o[...] = fin(jnp.where(
-                    wlu0, ff0 + ts * (ffn0 - 2.0 * ff0 + ffp0) / 2.0,
+                    wlu0, ff0 + ts2 * (ffn0 - 2.0 * ff0 + ffp0),
                     ffp0))
 
     return kernel
@@ -450,7 +466,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         tau: float, time_smooth: float, ffs: int,
                         trans: int, ksw: int, mu_const: float = 0.0,
                         n_tracers: int = 0, interpret: bool = False,
-                        vmem_limit_bytes: int | None = None):
+                        vmem_limit_bytes: int | None = None,
+                        metrics_2d: bool = False):
     """Returns the fused step on fused-layout arrays.
 
     With ``lu_s`` given: ``step(ssh, sshp, u, up, v, vp, *tracers)`` where
@@ -458,12 +475,16 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     ``step(lu, hr, met, ssh, ...)`` for the sharded driver.
 
     ``metrics_profile``: (16, Ys) float32 rows =
-    [dx, dy, dxt, dyt, dxh, dyh, dxb, dyb, rlh_s, 0...] latitude profiles.
+    [dx, dy, dxt, dyt, dxh, dyh, dxb, dyb, rlh_s, 0...] latitude profiles
+    (x-uniform metrics), or with ``metrics_2d=True`` the (16, Xs, Ys)
+    full planes from :func:`metrics_full_from_grid` — the bipolar /
+    curvilinear-grid path (grid_parameters.f90:183), which streams 16
+    extra f32 planes per point per step through HBM.
     """
     M = MARGIN
     tx = lay.tx
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
-                        n_tracers)
+                        n_tracers, metrics_2d=metrics_2d)
 
     n_tiles = lay.X // tx
 
@@ -479,9 +500,15 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             lambda i: (pl.multiple_of(i * tx + M, 8), 0),
             memory_space=pltpu.VMEM)
 
-    met_spec = pl.BlockSpec(
-        (pl.Element(16), pl.Element(lay.Ys)),
-        lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if metrics_2d:
+        met_spec = pl.BlockSpec(
+            (pl.Element(16), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
+            lambda i: (0, pl.multiple_of(i * tx, 8), 0),
+            memory_space=pltpu.VMEM)
+    else:
+        met_spec = pl.BlockSpec(
+            (pl.Element(16), pl.Element(lay.Ys)),
+            lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
     n_out = 6 + 2 * n_tracers
@@ -541,3 +568,30 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
             rows[k] = np.float32(1.0) / rows[src]
     rows[9:16][~np.isfinite(rows[9:16])] = 0.0
     return rows
+
+
+def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:
+    """(16, Xs, Ys) full metric planes for the 2D-metrics fused path
+    (bipolar / curvilinear grids, grid_parameters.f90:183 — metrics vary
+    in both directions). Margins are edge-replicated so reciprocals stay
+    finite; plane order matches :func:`metrics_profile_from_grid`."""
+    M = MARGIN
+    planes = np.zeros((16, lay.Xs, lay.Ys), np.float32)
+    names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb", "rlh_s"]
+    for k, name in enumerate(names):
+        f = np.asarray(getattr(grid, name), np.float32)
+        p = planes[k]
+        p[M:M + lay.nx, YPAD:YPAD + lay.ny] = f
+        # edge-replicate into the margins (y first, then x rows cover
+        # the corners too)
+        p[M:M + lay.nx, :YPAD] = f[:, :1]
+        p[M:M + lay.nx, YPAD + lay.ny:] = f[:, -1:]
+        p[:M, :] = p[M, :]
+        p[M + lay.nx:, :] = p[M + lay.nx - 1, :]
+    with np.errstate(divide="ignore"):
+        planes[9] = np.float32(1.0) / (planes[0] * planes[1])
+        for k, src in ((10, 2), (11, 3), (12, 4), (13, 5), (14, 6),
+                       (15, 7)):
+            planes[k] = np.float32(1.0) / planes[src]
+    planes[9:16][~np.isfinite(planes[9:16])] = 0.0
+    return planes

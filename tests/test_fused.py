@@ -32,8 +32,11 @@ def _case(curve_grid, with_islands, nx=70, ny=52):
 
 
 @pytest.mark.parametrize("curve_grid,with_islands",
-                         [(0, False), (1, True), (1, False)])
+                         [(0, False), (1, True), (1, False),
+                          (2, False), (2, True)])
 def test_fused_matches_jnp(curve_grid, with_islands):
+    """curve_grid=2 (bipolar) exercises the 2D-metrics kernel variant:
+    metrics stream as full planes instead of latitude profiles."""
     grid, cfg, state = _case(curve_grid, with_islands)
     step = jax.jit(make_step(grid, cfg))
     ref, ok = run_steps(step, state, np.float32(1.0), 30)
@@ -75,8 +78,10 @@ def test_fused_tracers_match_jnp():
         for name in ("ff", "ffp"):
             a = np.asarray(getattr(out, name)[t])
             b = np.asarray(getattr(ref, name)[t])
+            # f32 round-off: the fused flux reassociates (a+b)(c)(-dyh/2)
+            # for VPU strength reduction, ~1 ulp/step vs the jnp order
             rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
-            assert rel < 1e-6, (name, t, rel)
+            assert rel < 1e-5, (name, t, rel)
 
 
 def test_fused_viscosity_branch():
@@ -107,11 +112,16 @@ def test_fused_availability_checks():
     # periodic -> unsupported
     grid_p = dataclasses.replace(grid, periodic_x=True)
     assert not fused_available(grid_p, cfg)
-    # bipolar (x-varying metrics) -> unsupported
+    # bipolar (x-varying metrics) -> supported via the 2D-metrics variant
     basin2 = basinpar_flat(40, 36, curve_grid=2)
     grid2 = build_grid(basin2, frame_of_land_mask(40, 36),
                       precision=Precision.f32())
-    assert not fused_available(grid2, cfg)
+    assert fused_available(grid2, cfg)
+    fm = FusedSWModel(grid2, cfg, 1.0, tx=8, interpret=True)
+    assert fm.metrics_2d
+    # the sharded fused drivers carry profiles only -> bipolar falls back
+    assert fused_available(grid, cfg, sharded=True)
+    assert not fused_available(grid2, cfg, sharded=True)
 
 
 def test_fused_guard_trips():
