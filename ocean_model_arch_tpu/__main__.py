@@ -21,6 +21,10 @@ def main(argv=None):
     p.add_argument("--mesh", default=None,
                    help="device mesh as PXxPY (e.g. 2x4)")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--ckpt-format", choices=("npz", "orbax"),
+                   default="npz",
+                   help="npz = host-gathered file; orbax = per-shard "
+                        "tensorstore dir (multi-host)")
     p.add_argument("--f32", action="store_true",
                    help="f32 production precision (default: f64 validation)")
     p.add_argument("--quiet", action="store_true")
@@ -48,7 +52,8 @@ def main(argv=None):
                                               mesh_x=px, mesh_y=py))
 
     model = OceanModel(cfg, base_dir=args.config_dir)
-    model.run(checkpoint_path=args.checkpoint, verbose=not args.quiet)
+    model.run(checkpoint_path=args.checkpoint, verbose=not args.quiet,
+              checkpoint_format=args.ckpt_format)
     return 0
 
 

@@ -197,8 +197,13 @@ class OceanModel:
 
     # ------------------------------------------------------------------
     def run(self, checkpoint_path: Optional[str] = None,
-            verbose: bool = True) -> SWState:
-        """The main time loop (model.f90:132-200)."""
+            verbose: bool = True,
+            checkpoint_format: str = "npz") -> SWState:
+        """The main time loop (model.f90:132-200).
+
+        ``checkpoint_format``: "npz" (host-gathered single file) or
+        "orbax" (per-shard tensorstore directory; multi-host capable).
+        Resume auto-detects: a directory is an orbax checkpoint."""
         cfg = self.cfg
         run = cfg.run
         n_total = run.num_step_max
@@ -206,7 +211,12 @@ class OceanModel:
 
         if run.start_type == 1 and checkpoint_path \
                 and os.path.exists(checkpoint_path):
-            self.state, self.num_step = load_checkpoint(checkpoint_path)
+            if os.path.isdir(checkpoint_path):
+                from ..io.checkpoint import load_checkpoint_sharded
+                self.state, self.num_step = load_checkpoint_sharded(
+                    checkpoint_path)
+            else:
+                self.state, self.num_step = load_checkpoint(checkpoint_path)
             if verbose:
                 print(f"MODEL: resumed from {checkpoint_path} "
                       f"at step {self.num_step}")
@@ -266,7 +276,15 @@ class OceanModel:
         self.state = final
         if checkpoint_path:
             with self.timers.phase("checkpoint"):
-                save_checkpoint(checkpoint_path, final, self.num_step)
+                if checkpoint_format == "orbax" \
+                        or os.path.isdir(checkpoint_path):
+                    # per-shard tensorstore write — no host gather, the
+                    # multi-host path (collective MPI-IO analog)
+                    from ..io.checkpoint import save_checkpoint_sharded
+                    save_checkpoint_sharded(checkpoint_path, final,
+                                            self.num_step)
+                else:
+                    save_checkpoint(checkpoint_path, final, self.num_step)
         if verbose:
             wet = float(np.asarray(self.grid.lu).sum())
             steps_done = self.num_step - run.init_step
