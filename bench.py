@@ -59,7 +59,11 @@ def main():
     # program (lax.scan), so compile cost is independent of n_inner
     n_inner = 2000
     if fused_available(grid, cfg):
-        fm = FusedSWModel(grid, cfg, 1.0, tx=64)
+        # tx=128 (raised VMEM cap) + precomputed interp reciprocal planes
+        # measured fastest; tx=256 regresses (scripts/fused_variants_probe)
+        fm = FusedSWModel(grid, cfg, 1.0, tx=128,
+                          vmem_limit_bytes=48 * 1024 * 1024,
+                          static_rslu=True)
         carry = fm.pack(state)
 
         @jax.jit

@@ -28,7 +28,7 @@ class FusedSWModel:
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
                  tx: int = 64, interpret: bool = False,
                  vmem_limit_bytes: int | None = None,
-                 mu_const: float = 0.0):
+                 mu_const: float = 0.0, static_rslu: bool = False):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
         self.grid = grid
@@ -55,11 +55,13 @@ class FusedSWModel:
         # it, init_data.f90:76-77); a nonzero constant enables the fused
         # stress/diffusion branch
         self.mu_const = float(mu_const)
+        rslu = fsk.rslu_planes_from_lu(lu_s) if static_rslu else None
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
             self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
-            vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d)
+            vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
+            rslu_planes=rslu)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------

@@ -158,7 +158,8 @@ class OceanModel:
         if self._use_fused():
             from .fused import FusedSWModel
             if not hasattr(self, "_fused"):
-                self._fused = FusedSWModel(self.grid, self.cfg, tau)
+                self._fused = FusedSWModel(self.grid, self.cfg, tau,
+                                           static_rslu=True)
 
             @jax.jit
             def runner(st):

@@ -94,7 +94,8 @@ def _roll_y(a, dn: int, ys: int):
 
 def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  ffs: int, trans: int, ksw: int, mu_const: float,
-                 n_tracers: int = 0, metrics_2d: bool = False):
+                 n_tracers: int = 0, metrics_2d: bool = False,
+                 static_rslu: bool = False):
     M = MARGIN
     Ys = lay.Ys
     g = float(FREE_FALL_ACC)
@@ -132,8 +133,13 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 
         (lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
          vp_ref, met_ref) = refs[:9]
-        tr_refs = refs[9:9 + 2 * n_tracers]          # ff_i, ffp_i pairs
-        outs = refs[9 + 2 * n_tracers:]
+        base = 9
+        rslu_ref = None
+        if static_rslu:
+            rslu_ref = refs[9]
+            base = 10
+        tr_refs = refs[base:base + 2 * n_tracers]    # ff_i, ffp_i pairs
+        outs = refs[base + 2 * n_tracers:]
         (ssh_o, sshp_o, u_o, up_o, v_o, vp_o) = outs[:6]
         tr_outs = outs[6:]                           # ff_i, ffp_i pairs
 
@@ -179,31 +185,44 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         # weighted column aq = hq*dx*dy*lu is shared by all three interps.
         # No wet-select is needed: aq carries the lu factor, so an all-land
         # neighborhood yields an exactly-zero numerator (and rslu = 1).
+        def _rslu_u(h):
+            if static_rslu:
+                return sl(rslu_ref[0], M, h)
+            slu = LU(h) + LU(h, 1, 0)
+            return jnp.where(slu > 1.5, 0.5, 1.0)
+
+        def _rslu_v(h):
+            if static_rslu:
+                return sl(rslu_ref[1], M, h)
+            slu = LU(h) + LU(h, 0, 1)
+            return jnp.where(slu > 1.5, 0.5, 1.0)
+
+        def _rslu_h(h):
+            if static_rslu:
+                return sl(rslu_ref[2], M, h)
+            slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
+            # slu in {0..4}; select the reciprocal (1/3 rounds once, same
+            # as the division up to 1 ulp)
+            return jnp.where(
+                slu > 3.5, 0.25,
+                jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
+                          jnp.where(slu > 1.5, 0.5, 1.0)))
+
         def interp_u(h, aq0):
             """aq0 must carry halo h+1. slu in {0,1,2}: the reciprocal is
-            an exact select, no division."""
-            slu = LU(h) + LU(h, 1, 0)
-            rslu = jnp.where(slu > 1.5, 0.5, 1.0)
+            an exact select (or a precomputed static plane), no
+            division."""
             return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0)) \
-                * rslu * (MT(10, h) * MT(13, h))   # 1/(dxt*dyh)
+                * _rslu_u(h) * (MT(10, h) * MT(13, h))   # 1/(dxt*dyh)
 
         def interp_v(h, aq0):
-            slu = LU(h) + LU(h, 0, 1)
-            rslu = jnp.where(slu > 1.5, 0.5, 1.0)
             return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1)) \
-                * rslu * (MT(12, h) * MT(11, h))   # 1/(dxh*dyt)
+                * _rslu_v(h) * (MT(12, h) * MT(11, h))   # 1/(dxh*dyt)
 
         def interp_h(h, aq0):
             q = [sl(aq0, h + 1, h, a, b)
                  for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
-            slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
-            # slu in {0..4}; select the reciprocal (1/3 rounds once, same
-            # as the division up to 1 ulp)
-            rslu = jnp.where(
-                slu > 3.5, 0.25,
-                jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
-                          jnp.where(slu > 1.5, 0.5, 1.0)))
-            return (q[0] + q[1] + q[2] + q[3]) * rslu \
+            return (q[0] + q[1] + q[2] + q[3]) * _rslu_h(h) \
                 * (MT(14, h) * MT(15, h))          # 1/(dxb*dyb)
 
         def aq_of(h, src):
@@ -467,7 +486,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         trans: int, ksw: int, mu_const: float = 0.0,
                         n_tracers: int = 0, interpret: bool = False,
                         vmem_limit_bytes: int | None = None,
-                        metrics_2d: bool = False):
+                        metrics_2d: bool = False,
+                        rslu_planes=None):
     """Returns the fused step on fused-layout arrays.
 
     With ``lu_s`` given: ``step(ssh, sshp, u, up, v, vp, *tracers)`` where
@@ -483,8 +503,10 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     """
     M = MARGIN
     tx = lay.tx
+    static_rslu = rslu_planes is not None
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
-                        n_tracers, metrics_2d=metrics_2d)
+                        n_tracers, metrics_2d=metrics_2d,
+                        static_rslu=static_rslu)
 
     n_tiles = lay.X // tx
 
@@ -517,10 +539,17 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     if vmem_limit_bytes is not None and not interpret:
         extra["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes)
+    rslu_specs = []
+    if static_rslu:
+        rslu_specs = [pl.BlockSpec(
+            (pl.Element(3), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
+            lambda i: (0, pl.multiple_of(i * tx, 8), 0),
+            memory_space=pltpu.VMEM)]
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=([in_spec() for _ in range(8)] + [met_spec]
+                  + rslu_specs
                   + [in_spec() for _ in range(2 * n_tracers)]),
         out_specs=[out_spec() for _ in range(n_out)],
         out_shape=[shape] * n_out,
@@ -529,6 +558,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     )
 
     if lu_s is None:
+        assert not static_rslu, "raw form carries no static rslu planes"
+
         def step_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp, *tracers):
             return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp, met_a,
                               *tracers))
@@ -537,10 +568,12 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     lu_c = jnp.asarray(lu_s, jnp.float32)
     hr_c = jnp.asarray(hhq_rest_s, jnp.float32)
     met = jnp.asarray(metrics_profile, jnp.float32)
+    statics = ((jnp.asarray(rslu_planes, jnp.float32),)
+               if static_rslu else ())
 
     def step(ssh, sshp, u, up, v, vp, *tracers):
         return tuple(call(lu_c, hr_c, ssh, sshp, u, up, v, vp, met,
-                          *tracers))
+                          *statics, *tracers))
 
     return step
 
@@ -568,6 +601,27 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
             rows[k] = np.float32(1.0) / rows[src]
     rows[9:16][~np.isfinite(rows[9:16])] = 0.0
     return rows
+
+
+def rslu_planes_from_lu(lu_s: np.ndarray) -> np.ndarray:
+    """(3, Xs, Ys) static reciprocal-count planes for the depth
+    interpolations (u/v/h staggerings): rslu = 1/max(#wet neighbors, 1).
+    Pure functions of the land mask — precomputing them removes the
+    per-step compare/select chains from the kernel's hot loop."""
+    lu = np.asarray(lu_s, np.float32)
+    x1 = np.zeros_like(lu)
+    x1[:-1, :] = lu[1:, :]          # lu[i+1, j]
+    y1 = np.zeros_like(lu)
+    y1[:, :-1] = lu[:, 1:]          # lu[i, j+1]
+    xy1 = np.zeros_like(lu)
+    xy1[:-1, :-1] = lu[1:, 1:]      # lu[i+1, j+1]
+
+    def recip(s):
+        return np.float32(1.0) / np.maximum(s, 1.0)
+
+    out = np.stack([recip(lu + x1), recip(lu + y1),
+                    recip(lu + x1 + y1 + xy1)])
+    return out.astype(np.float32)
 
 
 def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:

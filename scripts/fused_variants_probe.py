@@ -1,0 +1,92 @@
+"""Section/tiling budget probe for the fused step (runs on the chip).
+
+Benches build_fused_sw_step variants on the bench workload shape to
+attribute VPU time (the kernel is VPU-bound; see roofline_probe.py):
+  - full step (trans=1) at tx = 64 / 128 / 256
+  - advection off (trans=0) — the uv_trans/vort section's share
+
+Each variant is one Mosaic compile (minutes on the tunnel, persistently
+cached). Usage: python scripts/fused_variants_probe.py [variant ...]
+with variants from: tx64 tx128 tx256 notrans; default: all.
+"""
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
+
+
+def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
+                  static_rslu=False):
+    from ocean_model_arch_tpu.config import (ModelConfig, Precision,
+                                             SWConfig, basinpar_as250m_test)
+    from ocean_model_arch_tpu.core.grid import build_grid
+    from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+    from ocean_model_arch_tpu.model.fused import FusedSWModel
+    from ocean_model_arch_tpu.model.init import init_ocean_state
+    import dataclasses
+
+    basin = basinpar_as250m_test()
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    if not trans:
+        cfg = dataclasses.replace(
+            cfg, sw=dataclasses.replace(cfg.sw, trans_terms=0))
+    grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
+                      precision=prec)
+    state = init_ocean_state(grid, cfg)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=tx, vmem_limit_bytes=vmem,
+                      static_rslu=static_rslu)
+    carry = fm.pack(state)
+
+    @jax.jit
+    def run(s6):
+        return fm.run_steps(s6, n_inner)
+
+    t0 = time.perf_counter()
+    carry, ok = run(carry)
+    jax.block_until_ready(ok)
+    compile_s = time.perf_counter() - t0
+    assert bool(ok)
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        carry, ok = run(carry)
+        jax.block_until_ready(ok)
+        best = min(best, time.perf_counter() - t0)
+    ms = best / n_inner * 1e3
+    pts = basin.nx * basin.ny
+    print(f"{name:10s} {ms:.4f} ms/step  {pts / ms * 1e3 / 1e9:6.2f} "
+          f"Gpts/s  (first-call {compile_s:.0f}s)", flush=True)
+
+
+VARIANTS = {
+    "tx64": dict(tx=64, trans=1),
+    "tx128": dict(tx=128, trans=1, vmem=48 * 1024 * 1024),
+    "tx256": dict(tx=256, trans=1, vmem=100 * 1024 * 1024),
+    "notrans": dict(tx=64, trans=0),
+    "rslu64": dict(tx=64, trans=1, static_rslu=True),
+    "rslu128": dict(tx=128, trans=1, vmem=48 * 1024 * 1024,
+                    static_rslu=True),
+}
+
+
+def main():
+    enable_compilation_cache()
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        try:
+            bench_variant(n, **VARIANTS[n])
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"{n:10s} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,10 @@ def test_fused_matches_jnp(curve_grid, with_islands):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
-def test_fused_tracers_match_jnp():
-    basin = basinpar_flat(70, 52, curve_grid=1, rlon=27.5, rlat=41.0)
+@pytest.mark.parametrize("curve_grid", [1, 2])
+def test_fused_tracers_match_jnp(curve_grid):
+    basin = basinpar_flat(70, 52, curve_grid=curve_grid,
+                          rlon=27.5, rlat=41.0)
     prec = Precision.f32()
     cfg = ModelConfig(basin=basin,
                       sw=SWConfig(use_tracers=1, tracer_num=2),
@@ -84,10 +86,12 @@ def test_fused_tracers_match_jnp():
             assert rel < 1e-5, (name, t, rel)
 
 
-def test_fused_viscosity_branch():
+@pytest.mark.parametrize("curve_grid", [1, 2])
+def test_fused_viscosity_branch(curve_grid):
     """Constant nonzero mu exercises the fused stress/uv_diff2 branch
-    (dead with the reference's zeroed mu)."""
-    grid, cfg, state = _case(1, True)
+    (dead with the reference's zeroed mu); curve_grid=2 covers the
+    2D-metrics shifts (dxb²mu at dn=-1 / dyb²mu at dm=-1)."""
+    grid, cfg, state = _case(curve_grid, True)
     MU = 1000.0
     state = dataclasses.replace(
         state, mu=jax.numpy.full_like(state.mu, MU))
@@ -104,6 +108,21 @@ def test_fused_viscosity_branch():
         b = np.asarray(getattr(ref, name))
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
         assert rel < 2e-5, (name, rel)
+
+
+@pytest.mark.parametrize("curve_grid,with_islands", [(1, True), (2, True)])
+def test_fused_static_rslu_matches(curve_grid, with_islands):
+    """static_rslu=True precomputes the interp reciprocal-count planes;
+    results must be bit-identical to the in-kernel select chains."""
+    grid, cfg, state = _case(curve_grid, with_islands)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
+    fs = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True)
+    a6, ok1 = jax.jit(lambda s: fm.run_steps(s, 20))(fm.pack(state))
+    b6, ok2 = jax.jit(lambda s: fs.run_steps(s, 20))(fs.pack(state))
+    assert bool(ok1) and bool(ok2)
+    for a, b in zip(a6, b6):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fused_availability_checks():
