@@ -274,43 +274,47 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             vorth2 = vort2 * sl(hh3, 3, 2)
             luu2f = jnp.where(wluu2, 1.0, 0.0)
 
-            # flux products: (a+b)(c+d)/4 with one constant multiply
-            fx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 1, 0)) \
-                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, 1, 0)) * 0.25
-            fx_m = (sl(ud3, 3, 1) + sl(ud3, 3, 1, -1, 0)) \
-                * (sl(u_c, 2, 1) + sl(u_c, 2, 1, -1, 0)) * 0.25
-            fy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 1, 0)) \
-                * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1)) \
-                * (sl(luu2f, 2, 1) * 0.25)
-            fy_m = (sl(vd3, 3, 1, 0, -1) + sl(vd3, 3, 1, 1, -1)) \
-                * (sl(u_c, 2, 1, 0, -1) + sl(u_c, 2, 1)) \
-                * (sl(luu2f, 2, 1, 0, -1) * 0.25)
+            # Flux-form telescoping (uv_trans_kernel): the minus-side
+            # flux at a cell IS the plus-side flux of its neighbor, so
+            # each edge-flux field is computed ONCE at halo 2 and its
+            # shifted view supplies the minus side — bit-identical to
+            # evaluating both, at ~half the VPU work.
+            #   F(m,n) = (ud(m)+ud(m+1))(u(m)+u(m+1))/4    [fx_p; fx_m = F(m-1)]
+            #   G(m,n) = (vd(m)+vd(m+1))(u(n)+u(n+1))luu/4 [fy_p; fy_m = G(n-1)]
+            #   K(m,n) = (vd(n)+vd(n+1))(v(n)+v(n+1))/4    [gy_p; gy_m = K(n-1)]
+            #   L(m,n) = (ud(n)+ud(n+1))(v(m)+v(m+1))/4    [gx_p; gx_m = L(m-1)]
+            F2 = (sl(ud3, 3, 2) + sl(ud3, 3, 2, 1, 0)) \
+                * (sl(u8, M, 2) + sl(u8, M, 2, 1, 0)) * 0.25
+            G2 = (sl(vd3, 3, 2) + sl(vd3, 3, 2, 1, 0)) \
+                * (sl(u8, M, 2, 0, 1) + sl(u8, M, 2)) * (luu2f * 0.25)
+            K2 = (sl(vd3, 3, 2) + sl(vd3, 3, 2, 0, 1)) \
+                * (sl(v8, M, 2) + sl(v8, M, 2, 0, 1)) * 0.25
+            L2 = (sl(ud3, 3, 2) + sl(ud3, 3, 2, 0, 1)) \
+                * (sl(v8, M, 2, 1, 0) + sl(v8, M, 2)) * 0.25
+            # vorticity double-terms telescope the same way; the
+            # (v+v_x1)/(u+u_y1) factors are shared with Coriolis below
+            s2v = sl(v8, M, 2, 1, 0) + sl(v8, M, 2)
+            s2u = sl(u8, M, 2, 0, 1) + sl(u8, M, 2)
+            H2 = vorth2 * s2v                  # rx term; + H2(n-1)
+            M2 = vorth2 * s2u                  # ry term; + M2(m-1)
+
             rx_adv1 = jnp.where(
                 wlcu1,
-                -(fx_p - fx_m + fy_p - fy_m)
-                + (sl(vorth2, 2, 1) * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1))
-                   + sl(vorth2, 2, 1, 0, -1)
-                   * (sl(v_c, 2, 1, 1, -1) + sl(v_c, 2, 1, 0, -1))) * 0.25,
+                -(sl(F2, 2, 1) - sl(F2, 2, 1, -1, 0)
+                  + sl(G2, 2, 1) - sl(G2, 2, 1, 0, -1))
+                + (sl(H2, 2, 1) + sl(H2, 2, 1, 0, -1)) * 0.25,
                 0.0)
-
-            gy_p = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, 1)) \
-                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, 1)) * 0.25
-            gy_m = (sl(vd3, 3, 1) + sl(vd3, 3, 1, 0, -1)) \
-                * (sl(v_c, 2, 1) + sl(v_c, 2, 1, 0, -1)) * 0.25
-            gx_p = (sl(ud3, 3, 1) + sl(ud3, 3, 1, 0, 1)) \
-                * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1)) * 0.25
-            gx_m = (sl(ud3, 3, 1, -1, 0) + sl(ud3, 3, 1, -1, 1)) \
-                * (sl(v_c, 2, 1, -1, 0) + sl(v_c, 2, 1)) * 0.25
             ry_adv1 = jnp.where(
                 wlcv1,
-                -(gx_p - gx_m + gy_p - gy_m)
-                - (sl(vorth2, 2, 1) * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1))
-                   + sl(vorth2, 2, 1, -1, 0)
-                   * (sl(u_c, 2, 1, -1, 1) + sl(u_c, 2, 1, -1, 0))) * 0.25,
+                -(sl(L2, 2, 1) - sl(L2, 2, 1, -1, 0)
+                  + sl(K2, 2, 1) - sl(K2, 2, 1, 0, -1))
+                - (sl(M2, 2, 1) + sl(M2, 2, 1, -1, 0)) * 0.25,
                 0.0)
         else:
             rx_adv1 = 0.0
             ry_adv1 = 0.0
+            s2v = sl(v8, M, 2, 1, 0) + sl(v8, M, 2)
+            s2u = sl(u8, M, 2, 0, 1) + sl(u8, M, 2)
 
         # ---- lateral viscosity (stress_components + uv_diff2) ----
         if visc:
@@ -332,27 +336,25 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                                             - sl(s2, 3, 2)), 0.0)
 
             hq2 = sl(hr8, M, 2) + sl(ssh8, M, 2) * float(ffs)
-            a2 = (MT(1, 2) * MT(1, 2) * mu_const) * hq2 * str_t2
-            b2 = (MT(0, 2) * MT(0, 2) * mu_const) * hq2 * str_t2
-            def dxb2mu(dn):
-                return MT(6, 1, 0, dn) * MT(6, 1, 0, dn) * mu_const
-            def dyb2mu(dm):
-                return MT(7, 1, dm, 0) * MT(7, 1, dm, 0) * mu_const
+            t2 = hq2 * str_t2                  # shared T-point stress
+            a2 = (MT(1, 2) * MT(1, 2) * mu_const) * t2
+            b2 = (MT(0, 2) * MT(0, 2) * mu_const) * t2
+            # H-point stress terms telescope (uv_diff2_kernel): the
+            # minus side is the same field at (n-1)/(m-1) — shifting the
+            # product also shifts its metric factor, exactly as the
+            # reference evaluates dxb/dyb at the shifted point
+            hs2 = sl(hh3, 3, 2) * str_s2
+            D2 = (MT(6, 2) * MT(6, 2) * mu_const) * hs2    # dxb^2 mu hh ss
+            E2 = (MT(7, 2) * MT(7, 2) * mu_const) * hs2    # dyb^2 mu hh ss
             rx_dif1 = jnp.where(
                 wlcu1,
                 (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) * MT(13, 1)
-                + (dxb2mu(0) * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
-                   - dxb2mu(-1)
-                   * sl(hh3, 3, 1, 0, -1) * sl(str_s2, 2, 1, 0, -1))
-                * MT(10, 1),
+                + (sl(D2, 2, 1) - sl(D2, 2, 1, 0, -1)) * MT(10, 1),
                 0.0)
             ry_dif1 = jnp.where(
                 wlcv1,
                 -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) * MT(12, 1)
-                + (dyb2mu(0) * sl(hh3, 3, 1) * sl(str_s2, 2, 1)
-                   - dyb2mu(-1)
-                   * sl(hh3, 3, 1, -1, 0) * sl(str_s2, 2, 1, -1, 0))
-                * MT(11, 1),
+                + (sl(E2, 2, 1) - sl(E2, 2, 1, -1, 0)) * MT(11, 1),
                 0.0)
         else:
             rx_dif1 = 0.0
@@ -366,15 +368,18 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         up1 = sl(up8, M, 1)
         vp1 = sl(vp8, M, 1)
 
+        # Coriolis double-terms telescope like the advection ones:
+        # C2v(n-1) / C2u(m-1) are the second summands
+        C2v = corio2 * s2v
+        C2u = corio2 * s2u
+
         bpm_u = MT(2, 1) * MT(5, 1) * inv2tau   # dxt*dyh/2tau
         bp_u = hu1 * bpm_u                  # hhun == hhu (see docstring)
         bp0_u = hup1 * bpm_u
         slx = (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) \
             * hu1 * (MT(5, 1) * (-g))
         grx = (slx + rx_dif1 + rx_adv1
-               + (sl(corio2, 2, 1) * (sl(v_c, 2, 1, 1, 0) + sl(v_c, 2, 1))
-                  + sl(corio2, 2, 1, 0, -1)
-                  * (sl(v_c, 2, 1, 1, -1) + sl(v_c, 2, 1, 0, -1))) * 0.25)
+               + (sl(C2v, 2, 1) + sl(C2v, 2, 1, 0, -1)) * 0.25)
         un1 = jnp.where(
             wlcu1, (up1 * bp0_u + grx) / jnp.where(wlcu1, bp_u, 1.0), 0.0)
 
@@ -384,9 +389,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         sly = (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) \
             * hv1 * (MT(4, 1) * (-g))
         gry = (sly + ry_dif1 + ry_adv1
-               - (sl(corio2, 2, 1) * (sl(u_c, 2, 1, 0, 1) + sl(u_c, 2, 1))
-                  + sl(corio2, 2, 1, -1, 0)
-                  * (sl(u_c, 2, 1, -1, 1) + sl(u_c, 2, 1, -1, 0))) * 0.25)
+               - (sl(C2u, 2, 1) + sl(C2u, 2, 1, -1, 0)) * 0.25)
         vn1 = jnp.where(
             wlcv1, (vp1 * bp0_v + gry) / jnp.where(wlcv1, bp_v, 1.0), 0.0)
 
