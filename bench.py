@@ -59,11 +59,11 @@ def main():
     # program (lax.scan), so compile cost is independent of n_inner
     n_inner = 2000
     if fused_available(grid, cfg):
-        # tx=128 (raised VMEM cap) + precomputed interp reciprocal planes
-        # measured fastest; tx=256 regresses (scripts/fused_variants_probe)
-        fm = FusedSWModel(grid, cfg, 1.0, tx=128,
-                          vmem_limit_bytes=48 * 1024 * 1024,
-                          static_rslu=True)
+        # static_rslu enables the fast kernel (static mask planes,
+        # profile-restructured vorticity, folded constants); tx=64
+        # measured fastest with it (10.1 vs 9.7 Gpts/s at tx=128,
+        # scripts/fused_variants_probe)
+        fm = FusedSWModel(grid, cfg, 1.0, tx=64, static_rslu=True)
         carry = fm.pack(state)
 
         @jax.jit

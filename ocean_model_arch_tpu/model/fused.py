@@ -55,7 +55,14 @@ class FusedSWModel:
         # it, init_data.f90:76-77); a nonzero constant enables the fused
         # stress/diffusion branch
         self.mu_const = float(mu_const)
-        rslu = fsk.rslu_planes_from_lu(lu_s) if static_rslu else None
+        if static_rslu:
+            if self.metrics_2d:
+                dxdy = met[0] * met[1]               # (Xs, Ys) planes
+            else:
+                dxdy = (met[0] * met[1])[None, :]    # (1, Ys) profile
+            rslu = fsk.static_planes(lu_s, hr_s, dxdy)
+        else:
+            rslu = None
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,

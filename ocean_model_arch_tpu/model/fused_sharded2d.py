@@ -57,12 +57,13 @@ class FusedSharded2DModel:
         self.lay = fsk.FusedLayout(nx=grid.nx, ny=grid.ny, X=xl,
                                    Xs=xl + 2 * M, Ys=yl + 2 * M, tx=tx)
 
-        # global metric y-profiles, margined per y-shard: (py, 16, yl+2M)
-        gprof = self._global_profiles(grid)           # (16, ny) + recips
+        # global metric y-profiles, margined per y-shard:
+        # (py, N_PROF, yl+2M)
+        gprof = self._global_profiles(grid)           # (N_PROF, ny)
         # extend over the padded global extent Yg, then add margins
         gprof = np.pad(gprof, ((0, 0), (0, self.Yg - grid.ny)),
                        mode="edge")
-        prof_sh = np.zeros((py, 16, yl + 2 * M), np.float32)
+        prof_sh = np.zeros((py, fsk.N_PROF, yl + 2 * M), np.float32)
         padded = np.pad(gprof, ((0, 0), (M, M)), mode="edge")
         for j in range(py):
             prof_sh[j] = padded[:, j * yl: j * yl + yl + 2 * M]
@@ -92,8 +93,8 @@ class FusedSharded2DModel:
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:
-        """(16, ny) metric + reciprocal latitude profiles (the unsharded
-        builder's layout, without the YPAD embedding)."""
+        """(N_PROF, ny) metric + reciprocal latitude profiles (the
+        unsharded builder's layout, without the YPAD embedding)."""
         lay0 = fsk.FusedLayout(grid.nx, grid.ny, 0, 0,
                                grid.ny + 2 * fsk.YPAD, 0)
         rows = fsk.metrics_profile_from_grid(grid, lay0)

@@ -56,6 +56,7 @@ MARGIN = 8          # x margin rows (= max halo; 8-aligned window starts)
 # in seconds but sublane rolls cost ~2.5x runtime. Flip for fast iteration.
 UNIFORM_SHAPES = False
 YPAD = 2            # extra land columns each side in y
+N_PROF = 24         # profile rows (9 metrics + 7 reciprocals + 6 derived)
 
 
 class FusedLayout(NamedTuple):
@@ -101,6 +102,11 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     g = float(FREE_FALL_ACC)
     ts = float(time_smooth)
     visc = bool(ksw and mu_const != 0.0)
+    # fast mode: static mask planes + extended profile rows let the hot
+    # loop drop per-step mask recomputes, fold the 0.25 constants into
+    # end-of-chain/profile scalings, and restructure vorticity around
+    # precomputed metric-difference profiles (x-uniform metrics only)
+    fast = bool(static_rslu and not metrics_2d)
 
     uniform = UNIFORM_SHAPES
 
@@ -180,6 +186,11 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         def WLUU(h):
             return (LU(h) * LU(h, 1, 0) * LU(h, 0, 1) * LU(h, 1, 1)) > 0.5
 
+        def SP(i, h):
+            """Static-plane slice (fast mode): 0-2 interp reciprocals,
+            3 wlu, 4 wlcu, 5 wlcv, 6 wluu (f32 0/1 planes)."""
+            return sl(rslu_ref[i], M, h)
+
         # ---- depth interpolations (hh_init/hh_update, depth.f90) ----
         # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points. The
         # weighted column aq = hq*dx*dy*lu is shared by all three interps.
@@ -208,57 +219,137 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
                           jnp.where(slu > 1.5, 0.5, 1.0)))
 
+        # In fast mode the u/v interps return the metric-weighted depths
+        # hhu*dyh / hhv*dxh (one profile factor instead of two): every
+        # consumer (continuity fluxes, pressure gradient, bp chains,
+        # tracer transports) wants exactly those products.
+        u_mt = (lambda h: MT(10, h)) if fast \
+            else (lambda h: MT(10, h) * MT(13, h))       # 1/dxt[*1/dyh]
+        v_mt = (lambda h: MT(11, h)) if fast \
+            else (lambda h: MT(12, h) * MT(11, h))       # 1/dyt[*1/dxh]
+
         def interp_u(h, aq0):
             """aq0 must carry halo h+1. slu in {0,1,2}: the reciprocal is
             an exact select (or a precomputed static plane), no
             division."""
             return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0)) \
-                * _rslu_u(h) * (MT(10, h) * MT(13, h))   # 1/(dxt*dyh)
+                * _rslu_u(h) * u_mt(h)
 
-        def interp_v(h, aq0):
-            return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 0, 1)) \
-                * _rslu_v(h) * (MT(12, h) * MT(11, h))   # 1/(dxh*dyt)
+        def interp_v(h, aq0, aq0y):
+            """aq0y = aq0 lane-rolled by +1 (shared across interps)."""
+            return (sl(aq0, h + 1, h) + sl(aq0y, h + 1, h)) \
+                * _rslu_v(h) * v_mt(h)
 
-        def interp_h(h, aq0):
-            q = [sl(aq0, h + 1, h, a, b)
-                 for (a, b) in ((0, 0), (1, 0), (0, 1), (1, 1))]
-            return (q[0] + q[1] + q[2] + q[3]) * _rslu_h(h) \
+        def interp_h(h, aq0, aq0y):
+            q = (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0)
+                 + sl(aq0y, h + 1, h) + sl(aq0y, h + 1, h, 1, 0))
+            return q * _rslu_h(h) \
                 * (MT(14, h) * MT(15, h))          # 1/(dxb*dyb)
 
-        def aq_of(h, src):
-            hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)
-            # (dx*dy) groups metric*metric so the chain stays 2 full-
-            # array muls off the state in profile mode
-            return hq * (MT(0, h) * MT(1, h)) * LU(h)
+        if fast:
+            def aq_of(h, src):
+                # static planes 7 (lu*dx*dy) and the fused hr term fold
+                # the lu gating and metric product into one mul-add:
+                # aq = ssh*lu*dx*dy + hr*lu*dx*dy  (ffs=1)
+                if ffs:
+                    return sl(src, M, h) * SP(7, h) + sl(rslu_ref[8], M, h)
+                return sl(rslu_ref[8], M, h)
+        else:
+            def aq_of(h, src):
+                hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)
+                # (dx*dy) groups metric*metric so the chain stays 2 full-
+                # array muls off the state in profile mode
+                return hq * (MT(0, h) * MT(1, h)) * LU(h)
+
+        def roll_y1(h, a):
+            """One shared lane roll per aq family (interp_v/h reuse it)."""
+            return sl(a, h, h, 0, 1)
 
         # current-level depths (== new-level: hqn = h_r + ssh = hq);
         # halo 3 so the deeper chains below stay in budget
         aq_cur4 = aq_of(4, ssh8)
+        aq_cur4y = roll_y1(4, aq_cur4)
         hu3 = interp_u(3, aq_cur4)
-        hv3 = interp_v(3, aq_cur4)
-        hh3 = interp_h(3, aq_cur4)
+        hv3 = interp_v(3, aq_cur4, aq_cur4y)
+        hh3 = interp_h(3, aq_cur4, aq_cur4y)
         # previous-level depths (pointwise consumers in update_uv)
         aq_prev2 = aq_of(2, sshp8)
         hup1 = interp_u(1, aq_prev2)
-        hvp1 = interp_v(1, aq_prev2)
+        hvp1 = interp_v(1, aq_prev2, roll_y1(2, aq_prev2))
 
         # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
         # uflux3/vflux3 double as uv_trans's u*dyh*hu / v*dxh*hv operands
-        uflux3 = sl(u8, M, 3) * hu3 * MT(5, 3)
-        vflux3 = sl(v8, M, 3) * hv3 * MT(4, 3)
-        wlu2 = LU(2) > 0.5
+        if fast:
+            uflux3 = sl(u8, M, 3) * hu3      # hu3 already carries dyh
+            vflux3 = sl(v8, M, 3) * hv3      # hv3 already carries dxh
+        else:
+            uflux3 = sl(u8, M, 3) * hu3 * MT(5, 3)
+            vflux3 = sl(v8, M, 3) * hv3 * MT(4, 3)
         div2 = (sl(uflux3, 3, 2) - sl(uflux3, 3, 2, -1, 0)
                 + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) * MT(9, 2)
-        sshn2 = jnp.where(wlu2, sl(sshp8, M, 2) + 2.0 * tau * (-div2), 0.0)
+        if fast:
+            # the lu select is redundant here: every consumer re-masks
+            # (final writes select by wlu0; tracer aq carries the LU
+            # factor), and land fluxes are exactly zero via hu/hv
+            sshn2 = sl(sshp8, M, 2) - (2.0 * tau) * div2
+        else:
+            wlu2 = LU(2) > 0.5
+            sshn2 = jnp.where(
+                wlu2, sl(sshp8, M, 2) + 2.0 * tau * (-div2), 0.0)
 
         # wet masks shared by advection / viscosity / momentum / tracers
-        wlcu1 = WLCU(1)
-        wlcv1 = WLCV(1)
         u_c = sl(u8, M, 2)
         v_c = sl(v8, M, 2)
+        if fast:
+            u_y1_2 = sl(u8, M, 2, 0, 1)     # the section's only u/v rolls
+            v_y1_2 = sl(v8, M, 2, 0, 1)
+            u_x1_2 = sl(u8, M, 2, 1, 0)
+            v_x1_2 = sl(v8, M, 2, 1, 0)
+            s2u = u_y1_2 + u_c              # shared: G2/M2/Coriolis
+            s2v = v_x1_2 + v_c              # shared: L2/H2/Coriolis
+            wlcu1 = SP(4, 1) > 0.5
+            wlcv1 = SP(5, 1) > 0.5
+        else:
+            wlcu1 = WLCU(1)
+            wlcv1 = WLCV(1)
 
         # ---- momentum advection (uv_trans_vort + uv_trans) ----
-        if trans:
+        if trans and fast:
+            # Profile-mode vorticity: with x-uniform metrics the four
+            # metric-weighted differences collapse onto three precomputed
+            # profile rows (16: dyt-dyb, 17: dxt(n+1)-dxb, 18: dxt-dxb):
+            #   vort = (v(m+1)-v)*(dyt-dyb) - u(n+1)*(dxt(n+1)-dxb)
+            #          + u*(dxt-dxb)
+            # — 3 muls off the state instead of the vd_t/ud_t halo-3
+            # products plus four differences. Masks are static planes;
+            # every 0.25 folds into one end-of-chain scaling.
+            wluu2f = SP(6, 2)
+            vort2 = ((v_x1_2 - v_c) * MT(16, 2)
+                     - u_y1_2 * MT(17, 2)
+                     + u_c * MT(18, 2)) * wluu2f
+            vorth2 = vort2 * sl(hh3, 3, 2)
+            ud2 = sl(uflux3, 3, 2)
+            ud2x = sl(uflux3, 3, 2, 1, 0)
+            ud2y = sl(uflux3, 3, 2, 0, 1)
+            vd2 = sl(vflux3, 3, 2)
+            vd2x = sl(vflux3, 3, 2, 1, 0)
+            vd2y = sl(vflux3, 3, 2, 0, 1)
+            # telescoped edge fluxes (see the non-fast branch); the 1/4
+            # moves to the rx/ry tail, the luu mask is a static plane
+            F2 = (ud2 + ud2x) * (u_c + u_x1_2)
+            G2 = (vd2 + vd2x) * (s2u * wluu2f)
+            K2 = (vd2 + vd2y) * (v_c + v_y1_2)
+            L2 = (ud2 + ud2y) * s2v
+            H2 = vorth2 * s2v
+            M2 = vorth2 * s2u
+            # the wlcu/wlcv selects are redundant (un1/vn1 re-select)
+            rx_adv1 = ((sl(H2, 2, 1) + sl(H2, 2, 1, 0, -1))
+                       - (sl(F2, 2, 1) - sl(F2, 2, 1, -1, 0))
+                       - (sl(G2, 2, 1) - sl(G2, 2, 1, 0, -1))) * 0.25
+            ry_adv1 = (-(sl(M2, 2, 1) + sl(M2, 2, 1, -1, 0))
+                       - (sl(L2, 2, 1) - sl(L2, 2, 1, -1, 0))
+                       - (sl(K2, 2, 1) - sl(K2, 2, 1, 0, -1))) * 0.25
+        elif trans:
             wluu2 = WLUU(2)
             vd_t = sl(v8, M, 3) * MT(3, 3)     # v*dyt at h3
             ud_t = sl(u8, M, 3) * MT(2, 3)
@@ -313,11 +404,38 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         else:
             rx_adv1 = 0.0
             ry_adv1 = 0.0
-            s2v = sl(v8, M, 2, 1, 0) + sl(v8, M, 2)
-            s2u = sl(u8, M, 2, 0, 1) + sl(u8, M, 2)
+            if not fast:
+                s2v = sl(v8, M, 2, 1, 0) + sl(v8, M, 2)
+                s2u = sl(u8, M, 2, 0, 1) + sl(u8, M, 2)
 
         # ---- lateral viscosity (stress_components + uv_diff2) ----
-        if visc:
+        if visc and fast:
+            # static masks as 0/1 multiplies; dy/dx & dx/dy are profile
+            # rows 19/20; the rx/ry selects are dropped (un1 re-selects)
+            q3 = sl(up8, M, 3) * MT(13, 3)
+            r3 = sl(vp8, M, 3) * MT(12, 3)
+            str_t2 = (MT(19, 2) * (sl(q3, 3, 2) - sl(q3, 3, 2, -1, 0))
+                      - MT(20, 2) * (sl(r3, 3, 2) - sl(r3, 3, 2, 0, -1))) \
+                * SP(3, 2)
+            s1 = sl(up8, M, 3) * MT(10, 3)
+            s2 = sl(vp8, M, 3) * MT(11, 3)
+            str_s2 = ((MT(6, 2) * MT(15, 2)) * (sl(s1, 3, 2, 0, 1)
+                                                - sl(s1, 3, 2))
+                      + (MT(7, 2) * MT(14, 2)) * (sl(s2, 3, 2, 1, 0)
+                                                  - sl(s2, 3, 2))) \
+                * SP(6, 2)
+            hq2 = sl(hr8, M, 2) + sl(ssh8, M, 2) * float(ffs)
+            t2 = hq2 * str_t2
+            a2 = (MT(1, 2) * MT(1, 2) * mu_const) * t2
+            b2 = (MT(0, 2) * MT(0, 2) * mu_const) * t2
+            hs2 = sl(hh3, 3, 2) * str_s2
+            D2 = (MT(6, 2) * MT(6, 2) * mu_const) * hs2
+            E2 = (MT(7, 2) * MT(7, 2) * mu_const) * hs2
+            rx_dif1 = (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) * MT(13, 1) \
+                + (sl(D2, 2, 1) - sl(D2, 2, 1, 0, -1)) * MT(10, 1)
+            ry_dif1 = -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) * MT(12, 1) \
+                + (sl(E2, 2, 1) - sl(E2, 2, 1, -1, 0)) * MT(11, 1)
+        elif visc:
             q3 = sl(up8, M, 3) * MT(13, 3)
             r3 = sl(vp8, M, 3) * MT(12, 3)
             dy_dx = MT(1, 2) / MT(0, 2)        # profile mode: row ratios,
@@ -363,7 +481,12 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         # ---- momentum update at halo 1 (sw_update_uv) ----
         hu1 = sl(hu3, 3, 1)
         hv1 = sl(hv3, 3, 1)
-        corio2 = (MT(8, 2) * MT(6, 2) * MT(7, 2)) * sl(hh3, 3, 2)
+        if fast:
+            # profile row 21 = rlh_s*dxb*dyb*0.25 — the Coriolis 1/4
+            # folds into the precomputed profile
+            corio2 = MT(21, 2) * sl(hh3, 3, 2)
+        else:
+            corio2 = (MT(8, 2) * MT(6, 2) * MT(7, 2)) * sl(hh3, 3, 2)
         ssh_c2 = sl(ssh8, M, 2)
         up1 = sl(up8, M, 1)
         vp1 = sl(vp8, M, 1)
@@ -373,30 +496,53 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         C2v = corio2 * s2v
         C2u = corio2 * s2u
 
-        bpm_u = MT(2, 1) * MT(5, 1) * inv2tau   # dxt*dyh/2tau
+        cpair_x = sl(C2v, 2, 1) + sl(C2v, 2, 1, 0, -1)
+        cpair_y = sl(C2u, 2, 1) + sl(C2u, 2, 1, -1, 0)
+        if not fast:
+            cpair_x = cpair_x * 0.25
+            cpair_y = cpair_y * 0.25
+
+        if fast:
+            # hu/hv carry dyh/dxh already; the 0-division at all-land
+            # points yields inf/nan in the *discarded* select branch
+            bpm_u = MT(2, 1) * inv2tau          # dxt/2tau
+            bpm_v = MT(3, 1) * inv2tau          # dyt/2tau
+            slx_m = -g
+            sly_m = -g
+            guard_u = lambda b: b
+            guard_v = lambda b: b
+        else:
+            bpm_u = MT(2, 1) * MT(5, 1) * inv2tau   # dxt*dyh/2tau
+            bpm_v = MT(3, 1) * MT(4, 1) * inv2tau   # dyt*dxh/2tau
+            slx_m = MT(5, 1) * (-g)
+            sly_m = MT(4, 1) * (-g)
+            guard_u = lambda b: jnp.where(wlcu1, b, 1.0)
+            guard_v = lambda b: jnp.where(wlcv1, b, 1.0)
         bp_u = hu1 * bpm_u                  # hhun == hhu (see docstring)
         bp0_u = hup1 * bpm_u
         slx = (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) \
-            * hu1 * (MT(5, 1) * (-g))
-        grx = (slx + rx_dif1 + rx_adv1
-               + (sl(C2v, 2, 1) + sl(C2v, 2, 1, 0, -1)) * 0.25)
+            * hu1 * slx_m
+        grx = slx + rx_dif1 + rx_adv1 + cpair_x
         un1 = jnp.where(
-            wlcu1, (up1 * bp0_u + grx) / jnp.where(wlcu1, bp_u, 1.0), 0.0)
+            wlcu1, (up1 * bp0_u + grx) / guard_u(bp_u), 0.0)
 
-        bpm_v = MT(3, 1) * MT(4, 1) * inv2tau   # dyt*dxh/2tau
         bp_v = hv1 * bpm_v
         bp0_v = hvp1 * bpm_v
         sly = (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) \
-            * hv1 * (MT(4, 1) * (-g))
-        gry = (sly + ry_dif1 + ry_adv1
-               - (sl(C2u, 2, 1) + sl(C2u, 2, 1, -1, 0)) * 0.25)
+            * hv1 * sly_m
+        gry = sly + ry_dif1 + ry_adv1 - cpair_y
         vn1 = jnp.where(
-            wlcv1, (vp1 * bp0_v + gry) / jnp.where(wlcv1, bp_v, 1.0), 0.0)
+            wlcv1, (vp1 * bp0_v + gry) / guard_v(bp_v), 0.0)
 
         # ---- leapfrog rotation + Robert-Asselin filter (sw_next_step) ----
-        wlu0 = LU(0) > 0.5
-        wlcu0 = WLCU(0)
-        wlcv0 = WLCV(0)
+        if fast:
+            wlu0 = SP(3, 0) > 0.5
+            wlcu0 = SP(4, 0) > 0.5
+            wlcv0 = SP(5, 0) > 0.5
+        else:
+            wlu0 = LU(0) > 0.5
+            wlcu0 = WLCU(0)
+            wlcv0 = WLCV(0)
         ssh0 = sl(ssh8, M, 0)
         sshp0 = sl(sshp8, M, 0)
         u0 = sl(u8, M, 0)
@@ -425,16 +571,30 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # post-step depths: hh_init from the NEW (ssh, sshp) sets
             # hhu = interp(h_r + ssh_new), hhq_n = h_r,
             # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
-            ssh_new2 = jnp.where(wlu2, sshn2, ssh_c2)
-            aq_new2 = (sl(hr8, M, 2) + ssh_new2 * float(ffs)) \
-                * (MT(0, 2) * MT(1, 2)) * LU(2)
+            if fast:
+                # land values of sshn2 are killed by the lu*dx*dy plane
+                if ffs:
+                    aq_new2 = sshn2 * SP(7, 2) + sl(rslu_ref[8], M, 2)
+                else:
+                    aq_new2 = sl(rslu_ref[8], M, 2)
+            else:
+                ssh_new2 = jnp.where(wlu2, sshn2, ssh_c2)
+                aq_new2 = (sl(hr8, M, 2) + ssh_new2 * float(ffs)) \
+                    * (MT(0, 2) * MT(1, 2)) * LU(2)
             hun1 = interp_u(1, aq_new2)
-            hvn1 = interp_v(1, aq_new2)
+            hvn1 = interp_v(1, aq_new2, roll_y1(2, aq_new2))
             u_new1 = jnp.where(wlcu1, un1, sl(u8, M, 1))
             v_new1 = jnp.where(wlcv1, vn1, sl(v8, M, 1))
 
-            wlcu1t = wlcu1
-            wlcv1t = wlcv1
+            if fast:
+                # flux masks as 0/1 static-plane multiplies, hoisted onto
+                # the tracer-independent transport products
+                uh1 = (u_new1 * hun1) * SP(4, 1)
+                vh1 = (v_new1 * hvn1) * SP(5, 1)
+                diffusive = mu_const != 0.0
+                if diffusive:
+                    hun1m = hun1 * SP(4, 1)
+                    hvn1m = hvn1 * SP(5, 1)
             for t in range(n_tracers):
                 ff8 = tr_refs[2 * t][...]
                 ffp8 = tr_refs[2 * t + 1][...]
@@ -443,23 +603,36 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 
                 ff2 = sl(ff8, M, 2)
                 # fluxes (tran_diff_fluxes_kernel): advective + diffusive
-                dfdx = sl(ff2, 2, 1, 1, 0) - sl(ff2, 2, 1)
-                # (mu+mu)/2 * factor(=1) * dyh/dxt
-                mu_x = mu_const * MT(5, 1) * MT(10, 1)
-                fx1 = jnp.where(
-                    wlcu1t,
-                    (u_new1 * hun1)
-                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0))
-                    * (MT(5, 1) * -0.5)
-                    + mu_x * hun1 * dfdx, 0.0)
-                dfdy = sl(ff2, 2, 1, 0, 1) - sl(ff2, 2, 1)
-                mu_y = mu_const * MT(4, 1) * MT(11, 1)
-                fy1 = jnp.where(
-                    wlcv1t,
-                    (v_new1 * hvn1)
-                    * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1))
-                    * (MT(4, 1) * -0.5)
-                    + mu_y * hvn1 * dfdy, 0.0)
+                if not fast or diffusive:
+                    dfdx = sl(ff2, 2, 1, 1, 0) - sl(ff2, 2, 1)
+                    # (mu+mu)/2 * factor(=1) * dyh/dxt; in fast mode the
+                    # dyh/dxh ride inside hun1/hvn1 already
+                    mu_x = mu_const * (MT(10, 1) if fast
+                                       else MT(5, 1) * MT(10, 1))
+                    dfdy = sl(ff2, 2, 1, 0, 1) - sl(ff2, 2, 1)
+                    mu_y = mu_const * (MT(11, 1) if fast
+                                       else MT(4, 1) * MT(11, 1))
+                if fast:
+                    fx1 = uh1 * ((sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0))
+                                 * -0.5)
+                    fy1 = vh1 * ((sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1))
+                                 * -0.5)
+                    if diffusive:
+                        fx1 = fx1 + mu_x * hun1m * dfdx
+                        fy1 = fy1 + mu_y * hvn1m * dfdy
+                else:
+                    fx1 = jnp.where(
+                        wlcu1,
+                        (u_new1 * hun1)
+                        * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0))
+                        * (MT(5, 1) * -0.5)
+                        + mu_x * hun1 * dfdx, 0.0)
+                    fy1 = jnp.where(
+                        wlcv1,
+                        (v_new1 * hvn1)
+                        * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1))
+                        * (MT(4, 1) * -0.5)
+                        + mu_y * hvn1 * dfdy, 0.0)
 
                 # leapfrog update (tran_diff_tracer_kernel):
                 # bp = hhq_n*area/2tau with hhq_n = h_r,
@@ -472,9 +645,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                        + sl(fy1, 1, 0) - sl(fy1, 1, 0, 0, -1))
                 ffp0 = sl(ffp8, M, 0)
                 ff0 = sl(ff8, M, 0)
+                bp_g = bp if fast else jnp.where(wlu0, bp, 1.0)
                 ffn0 = jnp.where(
-                    wlu0, (bp0 * ffp0 + rhs) / jnp.where(wlu0, bp, 1.0),
-                    0.0)
+                    wlu0, (bp0 * ffp0 + rhs) / bp_g, 0.0)
                 # filter + rotation (tracer_next_step_kernel)
                 ff_o[...] = fin(jnp.where(wlu0, ffn0, ff0))
                 ffp_o[...] = fin(jnp.where(
@@ -532,7 +705,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             memory_space=pltpu.VMEM)
     else:
         met_spec = pl.BlockSpec(
-            (pl.Element(16), pl.Element(lay.Ys)),
+            (pl.Element(N_PROF), pl.Element(lay.Ys)),
             lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
@@ -545,7 +718,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     rslu_specs = []
     if static_rslu:
         rslu_specs = [pl.BlockSpec(
-            (pl.Element(3), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
+            (pl.Element(10), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
             lambda i: (0, pl.multiple_of(i * tx, 8), 0),
             memory_space=pltpu.VMEM)]
     call = pl.pallas_call(
@@ -582,9 +755,9 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
 
 
 def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
-    """Extract the (16, Ys) latitude profiles from a Grid; raises if any
-    metric is not x-uniform (then use the jnp path)."""
-    rows = np.zeros((16, lay.Ys), np.float32)
+    """Extract the (N_PROF, Ys) latitude profiles from a Grid; raises if
+    any metric is not x-uniform (then use the jnp path)."""
+    rows = np.zeros((N_PROF, lay.Ys), np.float32)
     names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb", "rlh_s"]
     for k, name in enumerate(names):
         f = np.asarray(getattr(grid, name))
@@ -602,15 +775,29 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
         for k, src in ((10, 2), (11, 3), (12, 4), (13, 5), (14, 6),
                        (15, 7)):
             rows[k] = np.float32(1.0) / rows[src]
-    rows[9:16][~np.isfinite(rows[9:16])] = 0.0
+        # rows 16-21 (fast mode): vorticity metric differences, stress
+        # ratios, and the 0.25-folded Coriolis product
+        rows[16] = rows[3] - rows[7]                      # dyt - dyb
+        rows[17] = np.concatenate([rows[2][1:], rows[2][-1:]]) - rows[6]
+        rows[18] = rows[2] - rows[6]                      # dxt - dxb
+        rows[19] = rows[1] / rows[0]                      # dy/dx
+        rows[20] = rows[0] / rows[1]                      # dx/dy
+        rows[21] = rows[8] * rows[6] * rows[7] * np.float32(0.25)
+    bad = ~np.isfinite(rows[9:])
+    rows[9:][bad] = 0.0
     return rows
 
 
-def rslu_planes_from_lu(lu_s: np.ndarray) -> np.ndarray:
-    """(3, Xs, Ys) static reciprocal-count planes for the depth
-    interpolations (u/v/h staggerings): rslu = 1/max(#wet neighbors, 1).
-    Pure functions of the land mask — precomputing them removes the
-    per-step compare/select chains from the kernel's hot loop."""
+def static_planes(lu_s: np.ndarray, hr_s: np.ndarray,
+                  dxdy: np.ndarray) -> np.ndarray:
+    """(10, Xs, Ys) static planes, pure functions of the land mask /
+    bathymetry / metrics:
+    0-2 reciprocal wet-neighbor counts for the depth interpolations
+    (u/v/h staggerings, rslu = 1/max(#wet, 1)), 3-6 the wet masks
+    wlu/wlcu/wlcv/wluu as f32 0/1, 7 lu*dx*dy, 8 hhq_rest*lu*dx*dy,
+    9 spare. Precomputing them removes the per-step mask/select
+    recomputes and the aq metric/gating muls from the hot loop.
+    ``dxdy``: (Xs, Ys) full plane or (1, Ys) y-profile row."""
     lu = np.asarray(lu_s, np.float32)
     x1 = np.zeros_like(lu)
     x1[:-1, :] = lu[1:, :]          # lu[i+1, j]
@@ -622,8 +809,12 @@ def rslu_planes_from_lu(lu_s: np.ndarray) -> np.ndarray:
     def recip(s):
         return np.float32(1.0) / np.maximum(s, 1.0)
 
+    ludxdy = (lu * np.asarray(dxdy, np.float32)).astype(np.float32)
     out = np.stack([recip(lu + x1), recip(lu + y1),
-                    recip(lu + x1 + y1 + xy1)])
+                    recip(lu + x1 + y1 + xy1),
+                    lu, lu * x1, lu * y1, lu * x1 * y1 * xy1,
+                    ludxdy, np.asarray(hr_s, np.float32) * ludxdy,
+                    np.zeros_like(lu)])
     return out.astype(np.float32)
 
 

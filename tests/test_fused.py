@@ -55,8 +55,9 @@ def test_fused_matches_jnp(curve_grid, with_islands):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
-@pytest.mark.parametrize("curve_grid", [1, 2])
-def test_fused_tracers_match_jnp(curve_grid):
+@pytest.mark.parametrize("curve_grid,static_rslu",
+                         [(1, False), (2, False), (1, True)])
+def test_fused_tracers_match_jnp(curve_grid, static_rslu):
     basin = basinpar_flat(70, 52, curve_grid=curve_grid,
                           rlon=27.5, rlat=41.0)
     prec = Precision.f32()
@@ -71,7 +72,8 @@ def test_fused_tracers_match_jnp(curve_grid):
     ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
                         np.float32(1.0), 30)
     assert bool(ok)
-    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=static_rslu)
     s = fm.pack(state)
     s, ok2 = jax.jit(lambda c: fm.run_steps(c, 30))(s)
     assert bool(ok2)
@@ -86,11 +88,13 @@ def test_fused_tracers_match_jnp(curve_grid):
             assert rel < 1e-5, (name, t, rel)
 
 
-@pytest.mark.parametrize("curve_grid", [1, 2])
-def test_fused_viscosity_branch(curve_grid):
+@pytest.mark.parametrize("curve_grid,static_rslu",
+                         [(1, False), (2, False), (1, True)])
+def test_fused_viscosity_branch(curve_grid, static_rslu):
     """Constant nonzero mu exercises the fused stress/uv_diff2 branch
     (dead with the reference's zeroed mu); curve_grid=2 covers the
-    2D-metrics shifts (dxb²mu at dn=-1 / dyb²mu at dm=-1)."""
+    2D-metrics shifts (dxb²mu at dn=-1 / dyb²mu at dm=-1); static_rslu
+    covers the fast-mode static-mask/profile-ratio variant."""
     grid, cfg, state = _case(curve_grid, True)
     MU = 1000.0
     state = dataclasses.replace(
@@ -98,7 +102,8 @@ def test_fused_viscosity_branch(curve_grid):
     ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
                         np.float32(1.0), 30)
     assert bool(ok)
-    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True, mu_const=MU)
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True, mu_const=MU,
+                      static_rslu=static_rslu)
     s = fm.pack(state)
     s, ok2 = jax.jit(lambda c: fm.run_steps(c, 30))(s)
     assert bool(ok2)
@@ -110,11 +115,11 @@ def test_fused_viscosity_branch(curve_grid):
         assert rel < 2e-5, (name, rel)
 
 
-@pytest.mark.parametrize("curve_grid,with_islands", [(1, True), (2, True)])
-def test_fused_static_rslu_matches(curve_grid, with_islands):
-    """static_rslu=True precomputes the interp reciprocal-count planes;
-    results must be bit-identical to the in-kernel select chains."""
-    grid, cfg, state = _case(curve_grid, with_islands)
+def test_fused_static_rslu_bitexact_2d():
+    """With 2D metrics (bipolar) the static planes only replace the
+    interp reciprocal-count selects — results must be bit-identical to
+    the in-kernel select chains."""
+    grid, cfg, state = _case(2, True)
     fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
     fs = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
                       static_rslu=True)
@@ -123,6 +128,29 @@ def test_fused_static_rslu_matches(curve_grid, with_islands):
     assert bool(ok1) and bool(ok2)
     for a, b in zip(a6, b6):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("with_islands", [False, True])
+def test_fused_fast_mode_matches_jnp(with_islands):
+    """static_rslu + x-uniform metrics = the fast kernel (static mask
+    planes, profile-restructured vorticity, folded 0.25s). FP order is
+    intentionally reassociated, so compare against the jnp reference
+    with an f32 round-off tolerance."""
+    grid, cfg, state = _case(1, with_islands)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fs = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True)
+    s6, ok2 = jax.jit(lambda s: fs.run_steps(s, 30))(fs.pack(state))
+    assert bool(ok2)
+    out = fs.unpack(s6, state)
+    for name in ("ssh", "sshp", "ubrtr", "vbrtr", "ubrtrp", "vbrtrp",
+                 "hhu", "hhv", "hhh", "hhq"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
 
 
 def test_fused_availability_checks():
