@@ -269,3 +269,215 @@ def o_tracer_update(tau, lu, dx, dy, hhqn, hhqp, flux_x, flux_y, ffp, ffn):
                 rhs = fxA(m, n) - fxA(m - 1, n) + fyA(m, n) - fyA(m, n - 1)
                 out[m, n] = (bp0 * ffp[m, n] + rhs) / bp
     return out
+
+
+# ---------------------------------------------------------------------------
+# Whole-model composition oracle
+# ---------------------------------------------------------------------------
+# Literal loop re-expression of ONE FULL MODEL STEP: the 11-stage kernel
+# sequence of expl_shallow_water (control/shallow_water/shallow_water.f90:
+# 22-94) followed by expl_tracer (control/tracer.f90:33-62), with the
+# exact per-stage array bindings of interface/shallow_water/sw_interface.f90
+# and interface/tracer/tracer_interface.f90 — which time level feeds which
+# kernel, inout persistence at unmasked points, and the end-of-step
+# hh_shift/hh_init ordering. This pins the *composition*, complementing the
+# per-kernel oracles above.
+
+def o_hh_update(lu, llu, llv, luh, dx, dy, dxt, dyt, dxh, dyh, dxb, dyb,
+                ssh, h_r, hqn, hun, hvn, hhn):
+    """depth.f90:101-162 — new-level depths from CURRENT ssh (the kernel is
+    only invoked when full_free_surface>0, so no ffs factor). hqn is written
+    pointwise everywhere; interpolations keep previous values off-mask."""
+    nx, ny = lu.shape
+    hqn2 = h_r + ssh
+    hun2, hvn2, hhn2 = hun.copy(), hvn.copy(), hhn.copy()
+    luA = A(lu)
+    q = A(hqn2 * np.float64(dx) * np.float64(dy) * lu)
+    for m in range(nx):
+        for n in range(ny):
+            if llu[m, n] > 0.5:
+                slu = np.float64(luA(m, n) + luA(m + 1, n))
+                hun2[m, n] = (q(m, n) + q(m + 1, n)) / slu \
+                    / dxt[m, n] / dyh[m, n]
+            if llv[m, n] > 0.5:
+                slu = np.float64(luA(m, n) + luA(m, n + 1))
+                hvn2[m, n] = (q(m, n) + q(m, n + 1)) / slu \
+                    / dxh[m, n] / dyt[m, n]
+            if luh[m, n] > 0.5:
+                slu = np.float64(luA(m, n) + luA(m + 1, n)
+                                 + luA(m, n + 1) + luA(m + 1, n + 1))
+                hhn2[m, n] = (q(m, n) + q(m + 1, n) + q(m, n + 1)
+                              + q(m + 1, n + 1)) / slu \
+                    / dxb[m, n] / dyb[m, n]
+    return hqn2, hun2, hvn2, hhn2
+
+
+def o_hh_shift(ts, lu, llu, llv, luh, hq, hqp, hqn, hu, hup, hun,
+               hv, hvp, hvn, hh, hhp, hhn):
+    """depth.f90:164-211 — Robert-Asselin filter on the depth families."""
+    nx, ny = lu.shape
+    out = [a.copy() for a in (hq, hqp, hu, hup, hv, hvp, hh, hhp)]
+    hq2, hqp2, hu2, hup2, hv2, hvp2, hh2, hhp2 = out
+    for m in range(nx):
+        for n in range(ny):
+            if llu[m, n] > 0.5:
+                hup2[m, n] = hu[m, n] + ts * (hun[m, n] - 2.0 * hu[m, n]
+                                              + hup[m, n]) / 2.0
+                hu2[m, n] = hun[m, n]
+            if llv[m, n] > 0.5:
+                hvp2[m, n] = hv[m, n] + ts * (hvn[m, n] - 2.0 * hv[m, n]
+                                              + hvp[m, n]) / 2.0
+                hv2[m, n] = hvn[m, n]
+            if lu[m, n] > 0.5:
+                hqp2[m, n] = hq[m, n] + ts * (hqn[m, n] - 2.0 * hq[m, n]
+                                              + hqp[m, n]) / 2.0
+                hq2[m, n] = hqn[m, n]
+            if luh[m, n] > 0.5:
+                hhp2[m, n] = hh[m, n] + ts * (hhn[m, n] - 2.0 * hh[m, n]
+                                              + hhp[m, n]) / 2.0
+                hh2[m, n] = hhn[m, n]
+    return hq2, hqp2, hu2, hup2, hv2, hvp2, hh2, hhp2
+
+
+def o_hh_init_inout(ffs, masks, mets, ssh, sshp, h_r, prev):
+    """hh_init with the reference's inout semantics: hq/hqp/hqn families are
+    pointwise overwrites (depth.f90:48-50), staggered interpolations keep
+    ``prev`` values at unmasked points (the if-guards)."""
+    (hq, hqp, hqn, hu, hup, hun, hv, hvp, hvn,
+     hh, hhp, hhn) = o_hh_init(
+        ffs, masks["lu"], masks["llu"], masks["llv"], masks["luh"],
+        mets["dx"], mets["dy"], mets["dxt"], mets["dyt"],
+        mets["dxh"], mets["dyh"], mets["dxb"], mets["dyb"],
+        ssh, sshp, h_r)
+    mu_ = masks["llu"] > 0.5
+    mv_ = masks["llv"] > 0.5
+    mh_ = masks["luh"] > 0.5
+    return (hq, hqp, hqn,
+            np.where(mu_, hu, prev["hhu"]),
+            np.where(mu_, hup, prev["hhu_p"]),
+            np.where(mu_, hun, prev["hhu_n"]),
+            np.where(mv_, hv, prev["hhv"]),
+            np.where(mv_, hvp, prev["hhv_p"]),
+            np.where(mv_, hvn, prev["hhv_n"]),
+            np.where(mh_, hh, prev["hhh"]),
+            np.where(mh_, hhp, prev["hhh_p"]),
+            np.where(mh_, hhn, prev["hhh_n"]))
+
+
+def o_tracer_next_step(ts, lu, ffn, ffp, ff):
+    """leapfrog_tracer.f90:143-170."""
+    ff2, ffp2 = ff.copy(), ffp.copy()
+    nx, ny = lu.shape
+    for m in range(nx):
+        for n in range(ny):
+            if lu[m, n] > 0.5:
+                ffp2[m, n] = ff[m, n] + ts * (ffn[m, n] - 2.0 * ff[m, n]
+                                              + ffp[m, n]) / 2.0
+                ff2[m, n] = ffn[m, n]
+    return ff2, ffp2
+
+
+def o_model_step(st, masks, mets, h_r, cfg, tau):
+    """One full model step: expl_shallow_water + expl_tracer composition.
+
+    ``st``: dict of numpy state arrays (mutated copy returned);
+    ``masks``/``mets``: grid arrays; ``cfg``: dict with ffs, trans, ksw,
+    ts, tracer_num keys.
+    """
+    st = dict(st)
+    ffs, trans, ksw, ts = cfg["ffs"], cfg["trans"], cfg["ksw"], cfg["ts"]
+
+    # 1. continuity (shallow_water.f90:36-38)        [sync sshn]
+    st["sshn"] = o_update_ssh(
+        tau, masks["lu"], mets["dx"], mets["dy"], mets["dxh"], mets["dyh"],
+        st["hhu"], st["hhv"], st["sshn"], st["sshp"], st["u"], st["v"])
+
+    # 2. new-level depths from current ssh (:40-44)  [sync hh*_n]
+    if ffs:
+        (st["hhq_n"], st["hhu_n"], st["hhv_n"], st["hhh_n"]) = o_hh_update(
+            masks["lu"], masks["llu"], masks["llv"], masks["luh"],
+            mets["dx"], mets["dy"], mets["dxt"], mets["dyt"],
+            mets["dxh"], mets["dyh"], mets["dxb"], mets["dyb"],
+            st["ssh"], h_r, st["hhq_n"], st["hhu_n"], st["hhv_n"],
+            st["hhh_n"])
+
+    # 3-4. momentum advection (:47-56)               [sync vort; lazy hh*_p]
+    if trans:
+        st["vort"] = o_vort(masks["luu"], mets["dxt"], mets["dyt"],
+                            mets["dxb"], mets["dyb"], st["u"], st["v"],
+                            st["vort"])
+        st["rhsx_adv"], st["rhsy_adv"] = o_uv_trans(
+            masks["lcu"], masks["lcv"], masks["luu"],
+            mets["dxh"], mets["dyh"], st["u"], st["v"], st["vort"],
+            st["hhq"], st["hhu"], st["hhv"], st["hhh"],
+            st["rhsx_adv"], st["rhsy_adv"])
+
+    # 5-6. lateral viscosity from the p level (:58-66) [sync str_t/str_s]
+    if ksw:
+        st["str_t"], st["str_s"] = o_stress(
+            masks["lu"], masks["luu"], mets["dx"], mets["dy"],
+            mets["dxt"], mets["dyt"], mets["dxh"], mets["dyh"],
+            mets["dxb"], mets["dyb"], st["up"], st["vp"],
+            st["str_t"], st["str_s"])
+        st["rhsx_dif"], st["rhsy_dif"] = o_uv_diff2(
+            masks["lcu"], masks["lcv"], mets["dx"], mets["dy"],
+            mets["dxt"], mets["dyt"], mets["dxh"], mets["dyh"],
+            mets["dxb"], mets["dyb"], st["mu"], st["str_t"], st["str_s"],
+            st["hhq"], st["hhu"], st["hhv"], st["hhh"],
+            st["rhsx_dif"], st["rhsy_dif"])
+
+    # 7. momentum update (:68-70)                    [sync ubrtrn, vbrtrn]
+    st["un"], st["vn"] = o_update_uv(
+        tau, masks["lcu"], masks["lcv"], mets["dxt"], mets["dyt"],
+        mets["dxh"], mets["dyh"], mets["dxb"], mets["dyb"],
+        st["hhu"], st["hhu_n"], st["hhu_p"],
+        st["hhv"], st["hhv_n"], st["hhv_p"], st["hhh"], st["ssh"],
+        st["u"], st["un"], st["up"], st["v"], st["vn"], st["vp"],
+        st["r_diss"], mets["rlh_s"],
+        st["rhsx"], st["rhsy"], st["rhsx_adv"], st["rhsy_adv"],
+        st["rhsx_dif"], st["rhsy_dif"])
+
+    # 8. leapfrog rotation + filter (:73-75)
+    (st["ssh"], st["sshp"], st["u"], st["up"], st["v"], st["vp"]) = \
+        o_next_step(ts, masks["lu"], masks["lcu"], masks["lcv"],
+                    st["ssh"], st["sshn"], st["sshp"],
+                    st["u"], st["un"], st["up"], st["v"], st["vn"], st["vp"])
+
+    if ffs:
+        # 9. depth-family filter (:77-81) — fully overwritten by hh_init
+        # below, but applied faithfully (composition parity)
+        (st["hhq"], st["hhq_p"], st["hhu"], st["hhu_p"], st["hhv"],
+         st["hhv_p"], st["hhh"], st["hhh_p"]) = o_hh_shift(
+            ts, masks["lu"], masks["llu"], masks["llv"], masks["luh"],
+            st["hhq"], st["hhq_p"], st["hhq_n"],
+            st["hhu"], st["hhu_p"], st["hhu_n"],
+            st["hhv"], st["hhv_p"], st["hhv_n"],
+            st["hhh"], st["hhh_p"], st["hhh_n"])
+        # 10. depth re-init from ROTATED (ssh, sshp) (:83-88) [sync hh*]
+        (st["hhq"], st["hhq_p"], st["hhq_n"],
+         st["hhu"], st["hhu_p"], st["hhu_n"],
+         st["hhv"], st["hhv_p"], st["hhv_n"],
+         st["hhh"], st["hhh_p"], st["hhh_n"]) = o_hh_init_inout(
+            ffs, masks, mets, st["ssh"], st["sshp"], h_r, st)
+
+    # 11. check_ssh_err (:90-93) — no state effect
+
+    # expl_tracer (tracer.f90:33-62): per tracer, fluxes -> update -> filter
+    for k in range(cfg["tracer_num"]):
+        fx, fy = o_tracer_fluxes(
+            masks["lcu"], masks["lcv"], mets["dxt"], mets["dyt"],
+            mets["dxh"], mets["dyh"], st["hhu"], st["hhv"],
+            st["ff"][k], st["u"], st["v"], st["mu"], 1.0,
+            st["flux_x"], st["flux_y"])
+        ffn = o_tracer_update(
+            tau, masks["lu"], mets["dx"], mets["dy"],
+            st["hhq_n"], st["hhq_p"], fx, fy, st["ffp"][k], st["ffn"][k])
+        ff2, ffp2 = o_tracer_next_step(
+            ts, masks["lu"], ffn, st["ffp"][k], st["ff"][k])
+        st["ff"] = [a.copy() for a in st["ff"]]
+        st["ffp"] = [a.copy() for a in st["ffp"]]
+        st["ffn"] = [a.copy() for a in st["ffn"]]
+        st["ff"][k], st["ffp"][k], st["ffn"][k] = ff2, ffp2, ffn
+        st["flux_x"], st["flux_y"] = fx, fy
+
+    return st
