@@ -70,11 +70,37 @@ class Grid:
     geo_lat_h: jnp.ndarray
     # Vector rotation coefficients on the T-grid (grid.f90:82), float64
     rotvec_coeff: Optional[jnp.ndarray]
+    # Vertical sigma coordinate (grid.f90:57-58, allocated from nz at
+    # :146-149): levels z (nz, t-points) / zw (nz+1, w-points) and steps
+    # dz (between w-levels) / hzt (between t-levels, nz+1). The
+    # barotropic core never reads them (the reference leaves the
+    # allocations zero-filled); they are constructed here as the uniform
+    # sigma column — the hook for any baroclinic extension. float32.
+    z: jnp.ndarray
+    zw: jnp.ndarray
+    hzt: jnp.ndarray
+    dz: jnp.ndarray
     # Static config
     nx: int = static_field()
     ny: int = static_field()
+    nz: int = static_field(default=1)
     periodic_x: bool = static_field(default=False)
     periodic_y: bool = static_field(default=False)
+
+
+def vertical_levels(nz: int):
+    """Uniform sigma-level column: z (t-levels), zw (w-levels), hzt
+    (steps between t-levels, one-sided at the column ends), dz (steps
+    between w-levels). All in [0, 1] sigma units, float32 — the arrays
+    grid.f90:57-58 allocates from nz (:146-149)."""
+    zw = np.linspace(0.0, 1.0, nz + 1, dtype=np.float32)
+    z = 0.5 * (zw[:-1] + zw[1:])
+    dz = np.diff(zw).astype(np.float32)
+    hzt = np.empty(nz + 1, np.float32)
+    hzt[0] = z[0] - zw[0]
+    hzt[1:-1] = np.diff(z)
+    hzt[-1] = zw[-1] - z[-1]
+    return z.astype(np.float32), zw, hzt, dz
 
 
 def build_grid(basin: BasinConfig, int_mask: np.ndarray,
@@ -102,6 +128,8 @@ def build_grid(basin: BasinConfig, int_mask: np.ndarray,
     else:
         hr = np.asarray(hhq_rest, dtype=precision.state_dtype)
 
+    zcol = vertical_levels(int(basin.nz))
+
     return Grid(
         lu=device_put(lu), lu1=device_put(lu1), luu=device_put(luu),
         luh=device_put(luh), lcu=device_put(lcu), lcv=device_put(lcv),
@@ -123,7 +151,9 @@ def build_grid(basin: BasinConfig, int_mask: np.ndarray,
         geo_lon_h=device_put(geo.geo_lon_h), geo_lat_h=device_put(geo.geo_lat_h),
         rotvec_coeff=(device_put(geo.rotvec_coeff)
                       if geo.rotvec_coeff is not None else None),
-        nx=nx, ny=ny,
+        z=device_put(zcol[0]), zw=device_put(zcol[1]),
+        hzt=device_put(zcol[2]), dz=device_put(zcol[3]),
+        nx=nx, ny=ny, nz=int(basin.nz),
         periodic_x=bool(basin.periodicity_x),
         periodic_y=bool(basin.periodicity_y),
     )

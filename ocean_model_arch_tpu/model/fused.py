@@ -28,7 +28,8 @@ class FusedSWModel:
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
                  tx: int = 64, interpret: bool = False,
                  vmem_limit_bytes: int | None = None,
-                 mu_const: float = 0.0, static_rslu: bool = False):
+                 mu_const: float = 0.0, static_rslu: bool = False,
+                 steps_per_call: int = 1):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
         self.grid = grid
@@ -60,15 +61,19 @@ class FusedSWModel:
                 dxdy = met[0] * met[1]               # (Xs, Ys) planes
             else:
                 dxdy = (met[0] * met[1])[None, :]    # (1, Ys) profile
-            rslu = fsk.static_planes(lu_s, hr_s, dxdy)
+            names = fsk.plane_names(cfg.sw.full_free_surface,
+                                    cfg.sw.ksw_lat, self.mu_const,
+                                    self.metrics_2d)
+            rslu = fsk.static_planes(lu_s, hr_s, dxdy, names)
         else:
             rslu = None
+        self.steps_per_call = int(steps_per_call)
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
             self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
-            rslu_planes=rslu)
+            rslu_planes=rslu, steps_per_call=self.steps_per_call)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------
@@ -126,11 +131,17 @@ class FusedSWModel:
     # -- running ---------------------------------------------------------
     def run_steps(self, s6, n_steps: int):
         """Scan the fused step; returns (s6', ok) — ok is the stability
-        guard on the final ssh (check_ssh_err analog)."""
+        guard on the final ssh (check_ssh_err analog). ``n_steps`` must
+        be a multiple of ``steps_per_call``."""
+        spc = self.steps_per_call
+        if n_steps % spc:
+            raise ValueError(f"n_steps={n_steps} not a multiple of "
+                             f"steps_per_call={spc}")
+
         def body(c, _):
             return self.step6(*c), None
 
-        s6, _ = jax.lax.scan(body, tuple(s6), None, length=n_steps)
+        s6, _ = jax.lax.scan(body, tuple(s6), None, length=n_steps // spc)
         ok = swk.check_ssh_ok(jnp.pad(self._lu_s, 2), jnp.pad(s6[0], 2))
         return s6, ok
 

@@ -36,7 +36,7 @@ class FusedSharded2DModel:
 
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
                  px: int, py: int, tx: int = 64, devices=None,
-                 interpret: bool = False):
+                 interpret: bool = False, mu_const: float = 0.0):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused sharded path: periodic unsupported")
         self.grid = grid
@@ -86,10 +86,12 @@ class FusedSharded2DModel:
 
         self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
                           else 0)
+        self.mu_const = float(mu_const or 0.0)
         self.step_raw = fsk.build_fused_sw_step(
             self.lay, None, None, None, float(tau), cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
-            mu_const=0.0, n_tracers=self.n_tracers, interpret=interpret)
+            mu_const=self.mu_const, n_tracers=self.n_tracers,
+            interpret=interpret)
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:

@@ -103,6 +103,18 @@ class OceanModel:
         return "\n".join(lines)
 
     # ------------------------------------------------------------------
+    def state_mu_const(self):
+        """The state's spatially-constant viscosity, or None if mu varies
+        (then only the general jnp path applies). The reference's init
+        zeroes mu (init_data.f90:76-77), so this is normally 0.0; a
+        nonzero constant drives the fused stress/uv_diff2 branch
+        (vel_ssh.f90:375-452)."""
+        mu = np.asarray(self.state.mu)
+        if mu.size == 0:
+            return 0.0
+        v = mu.flat[0]
+        return float(v) if np.all(mu == v) else None
+
     def _use_fused(self) -> bool:
         """The fused Pallas fast path applies to f32 single-device runs of
         supported configs (use_fused config knob can force it off)."""
@@ -111,6 +123,7 @@ class OceanModel:
         return (on_tpu
                 and self.mesh is None
                 and self.cfg.precision.state_dtype == np.float32
+                and self.state_mu_const() is not None
                 and fused_available(self.grid, self.cfg))
 
     def _use_fused_sharded(self) -> bool:
@@ -122,6 +135,7 @@ class OceanModel:
                 and self.mesh is not None
                 and wide_enough
                 and self.cfg.precision.state_dtype == np.float32
+                and self.state_mu_const() is not None
                 and fused_available(self.grid, self.cfg, sharded=True))
 
     def _make_runner(self, n_inner: int):
@@ -131,7 +145,8 @@ class OceanModel:
             if not hasattr(self, "_fused_sh"):
                 self._fused_sh = FusedSharded2DModel(
                     self.grid, self.cfg, tau,
-                    self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y)
+                    self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y,
+                    mu_const=self.state_mu_const())
             fs = self._fused_sh
             inner = fs.make_runner(n_inner)
 
@@ -159,7 +174,11 @@ class OceanModel:
             from .fused import FusedSWModel
             if not hasattr(self, "_fused"):
                 self._fused = FusedSWModel(self.grid, self.cfg, tau,
-                                           static_rslu=True)
+                                           static_rslu=True,
+                                           mu_const=self.state_mu_const())
+            # never silently drop physics: the kernel's compiled-in mu
+            # must match the state it will advance
+            self._fused.validate_state(self.state)
 
             @jax.jit
             def runner(st):

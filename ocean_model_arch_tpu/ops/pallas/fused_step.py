@@ -13,14 +13,14 @@ kernels, it exploits two structural facts the reference cannot:
    depths coincide with the current-level ones (hqn = h_r + ssh = hq when
    full_free_surface=1), so one interpolation family serves both.
 
-2. **The whole step fuses.** The total stencil reach of one step
-   (including the tracer pass, which consumes post-rotation velocities
-   and post-hh_init depths) is <= 8 cells, so a tile with an 8-cell
-   x-halo computes the entire update_ssh -> hh_update -> vort ->
-   uv_trans -> stress -> uv_diff2 -> update_uv -> next_step ->
-   [tracer fluxes -> update -> filter] chain for its interior in one
-   pass: (6 + 2T) prognostic reads + 2 static reads + (6 + 2T) writes
-   per point per step (T = number of tracers).
+2. **The whole step fuses — and chains.** The per-step stencil reach of
+   the full update_ssh -> hh_update -> vort -> uv_trans -> stress ->
+   uv_diff2 -> update_uv -> next_step -> [tracer] chain is <= 4 cells,
+   and the output-stage masked selects restore exact zeros on every land
+   cell, so a tile with an 8-cell halo runs TWO whole model steps per
+   invocation (``steps_per_call=2``): step A computes the full update at
+   halo 4, step B consumes it down to halo 0. The intermediate state
+   never touches HBM, halving the streamed passes per model step.
 
 Layout: arrays are (Xs, Ys) float32 where Xs = margin + X + margin
 (margin = 8 rows of land so halo windows never leave the array — Mosaic
@@ -48,12 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.constants import FREE_FALL_ACC
 
-MARGIN = 8          # x margin rows (= max halo; 8-aligned window starts)
+MARGIN = 8          # x margin rows (= 2 steps x reach 4; 8-aligned windows)
 # Kernel graph mode. False (default): per-stage halo shaving via x-slices —
-# fastest runtime (0.217 ms/step on the 1525x1115 config) but the shape
-# diversity makes Mosaic compiles take minutes (one-time, persistently
-# cached). True: every stage at the full window with roll-shifts — compiles
-# in seconds but sublane rolls cost ~2.5x runtime. Flip for fast iteration.
+# fastest runtime but the shape diversity makes Mosaic compiles take
+# minutes (one-time, persistently cached). True: every stage at the full
+# window with roll-shifts — compiles in seconds but sublane rolls cost
+# ~2.5x runtime. Flip for fast iteration.
 UNIFORM_SHAPES = False
 YPAD = 2            # extra land columns each side in y
 N_PROF = 24         # profile rows (9 metrics + 7 reciprocals + 6 derived)
@@ -93,10 +93,36 @@ def _roll_y(a, dn: int, ys: int):
     return pltpu.roll(a, (-dn) % ys, 1)
 
 
+def plane_names(ffs: int, ksw: int, mu_const: float,
+                metrics_2d: bool) -> tuple:
+    """Static-plane set for the fast kernel, config-dependent so that no
+    unused plane is streamed per tile:
+
+    - ``rslu_u/v/h``: reciprocal wet-neighbor counts of the depth
+      interpolations (1/max(#wet,1)) — replace in-kernel select chains;
+    - ``ludxdy`` = lu*dx*dy and ``hrludxdy`` = hhq_rest*lu*dx*dy — the
+      weighted depth columns' static factors (ludxdy > 0.5 doubles as the
+      wlu wet mask: metric products are >> 1 m^2 on every config);
+    - ``wlcu/wlcv/wluu``: staggered wet masks as f32 0/1 planes;
+    - ``wlu``: only the viscosity branch multiplies by it.
+
+    With 2D metrics (bipolar grids) the fast restructurings are off and
+    only the three reciprocal planes are consumed.
+    """
+    if metrics_2d:
+        return ("rslu_u", "rslu_v", "rslu_h")
+    names = ["rslu_u", "rslu_v", "rslu_h", "ludxdy", "wlcu", "wlcv",
+             "wluu", "hrludxdy"]
+    if ksw and mu_const != 0.0:
+        names.append("wlu")
+    return tuple(names)
+
+
 def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  ffs: int, trans: int, ksw: int, mu_const: float,
                  n_tracers: int = 0, metrics_2d: bool = False,
-                 static_rslu: bool = False):
+                 static_rslu: bool = False, steps_per_call: int = 1,
+                 has_lu: bool = True, has_hr: bool = True):
     M = MARGIN
     Ys = lay.Ys
     g = float(FREE_FALL_ACC)
@@ -107,6 +133,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     # end-of-chain/profile scalings, and restructure vorticity around
     # precomputed metric-difference profiles (x-uniform metrics only)
     fast = bool(static_rslu and not metrics_2d)
+    spx = ({n: i for i, n in enumerate(
+        plane_names(ffs, ksw, mu_const, metrics_2d))}
+        if static_rslu else None)
 
     uniform = UNIFORM_SHAPES
 
@@ -133,526 +162,568 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 out = jax.lax.slice(a, (off, 0), (off + rows, Ys))
                 return _roll_y(out, dn, Ys)
 
-        def fin(x):
-            """Final output view: drop the margins in uniform mode."""
-            return x[M:-M, :] if uniform else x
-
-        (lu_ref, hr_ref, ssh_ref, sshp_ref, u_ref, up_ref, v_ref,
-         vp_ref, met_ref) = refs[:9]
-        base = 9
-        rslu_ref = None
+        k = 0
+        lu8 = hr8 = None
+        if has_lu:
+            lu8 = refs[k][...]
+            k += 1
+        if has_hr:
+            hr8 = refs[k][...]
+            k += 1
+        ssh8, sshp8, u8, up8, v8, vp8 = (r[...] for r in refs[k:k + 6])
+        k += 6
+        met_ref = refs[k]
+        k += 1
+        planes_ref = None
         if static_rslu:
-            rslu_ref = refs[9]
-            base = 10
-        tr_refs = refs[base:base + 2 * n_tracers]    # ff_i, ffp_i pairs
-        outs = refs[base + 2 * n_tracers:]
-        (ssh_o, sshp_o, u_o, up_o, v_o, vp_o) = outs[:6]
-        tr_outs = outs[6:]                           # ff_i, ffp_i pairs
+            planes_ref = refs[k]
+            k += 1
+        tr8 = [r[...] for r in refs[k:k + 2 * n_tracers]]  # ff_i, ffp_i
+        outs = refs[k + 2 * n_tracers:]
 
-        lu8 = lu_ref[...]
-        hr8 = hr_ref[...]
-        ssh8 = ssh_ref[...]
-        sshp8 = sshp_ref[...]
-        u8 = u_ref[...]
-        up8 = up_ref[...]
-        v8 = v_ref[...]
-        vp8 = vp_ref[...]
         # Metric planes: 0 dx, 1 dy, 2 dxt, 3 dyt, 4 dxh, 5 dyh, 6 dxb,
         # 7 dyb, 8 rlh_s, 9 1/(dx*dy), 10-15 reciprocals of 2-7 (host-
         # precomputed — divisions are the dominant VPU cost otherwise).
-        # Profile mode: met is (16, Ys) latitude rows, broadcast across
-        # rows at any halo (x-uniform metrics). 2D mode (bipolar /
+        # Profile mode: met is (N_PROF, Ys) latitude rows, broadcast
+        # across rows at any halo (x-uniform metrics). 2D mode (bipolar /
         # curvilinear grids): met is (16, Xs, Ys) full planes; each use
         # site names its halo so the window is sliced like the state.
         if metrics_2d:
-            def MT(k, h, dm=0, dn=0):
-                return sl(met_ref[k], M, h, dm, dn)
+            def MT(j, h, dm=0, dn=0):
+                return sl(met_ref[j], M, h, dm, dn)
         else:
-            met = met_ref[...]      # (16, Ys) latitude profiles
+            met = met_ref[...]      # (N_PROF, Ys) latitude profiles
 
-            def MT(k, h, dm=0, dn=0):
-                return _roll_y(met[k:k + 1, :], dn, Ys)
+            def MT(j, h, dm=0, dn=0):
+                return _roll_y(met[j:j + 1, :], dn, Ys)
         inv2tau = float(1.0 / (2.0 * tau))
 
-        def LU(h, dm=0, dn=0):
-            return sl(lu8, M, h, dm, dn)
+        def SP(name, h):
+            """Static-plane slice (see plane_names)."""
+            return sl(planes_ref[spx[name]], M, h)
 
-        def WLCU(h):
-            return (LU(h) * LU(h, 1, 0)) > 0.5
+        def one_step(hb, ho, state, tracers):
+            """One full model step: inputs at base halo ``hb``, outputs
+            at halo ``ho`` (hb >= ho + 4, the per-step stencil reach)."""
+            ssh8, sshp8, u8, up8, v8, vp8 = state
 
-        def WLCV(h):
-            return (LU(h) * LU(h, 0, 1)) > 0.5
+            def LU(h, dm=0, dn=0):
+                return sl(lu8, M, h, dm, dn)
 
-        def WLUU(h):
-            return (LU(h) * LU(h, 1, 0) * LU(h, 0, 1) * LU(h, 1, 1)) > 0.5
+            def WLCU(h):
+                return (LU(h) * LU(h, 1, 0)) > 0.5
 
-        def SP(i, h):
-            """Static-plane slice (fast mode): 0-2 interp reciprocals,
-            3 wlu, 4 wlcu, 5 wlcv, 6 wluu (f32 0/1 planes)."""
-            return sl(rslu_ref[i], M, h)
+            def WLCV(h):
+                return (LU(h) * LU(h, 0, 1)) > 0.5
 
-        # ---- depth interpolations (hh_init/hh_update, depth.f90) ----
-        # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points. The
-        # weighted column aq = hq*dx*dy*lu is shared by all three interps.
-        # No wet-select is needed: aq carries the lu factor, so an all-land
-        # neighborhood yields an exactly-zero numerator (and rslu = 1).
-        def _rslu_u(h):
-            if static_rslu:
-                return sl(rslu_ref[0], M, h)
-            slu = LU(h) + LU(h, 1, 0)
-            return jnp.where(slu > 1.5, 0.5, 1.0)
+            def WLUU(h):
+                return (LU(h) * LU(h, 1, 0) * LU(h, 0, 1)
+                        * LU(h, 1, 1)) > 0.5
 
-        def _rslu_v(h):
-            if static_rslu:
-                return sl(rslu_ref[1], M, h)
-            slu = LU(h) + LU(h, 0, 1)
-            return jnp.where(slu > 1.5, 0.5, 1.0)
+            # ---- depth interpolations (hh_init/hh_update, depth.f90) --
+            # hq = h_r + ssh*ffs on T; area-weighted onto U/V/H points.
+            # The weighted column aq = hq*dx*dy*lu is shared by all three
+            # interps. No wet-select is needed: aq carries the lu factor,
+            # so an all-land neighborhood yields an exactly-zero numerator
+            # (and rslu = 1).
+            def _rslu_u(h):
+                if static_rslu:
+                    return SP("rslu_u", h)
+                slu = LU(h) + LU(h, 1, 0)
+                return jnp.where(slu > 1.5, 0.5, 1.0)
 
-        def _rslu_h(h):
-            if static_rslu:
-                return sl(rslu_ref[2], M, h)
-            slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
-            # slu in {0..4}; select the reciprocal (1/3 rounds once, same
-            # as the division up to 1 ulp)
-            return jnp.where(
-                slu > 3.5, 0.25,
-                jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
-                          jnp.where(slu > 1.5, 0.5, 1.0)))
+            def _rslu_v(h):
+                if static_rslu:
+                    return SP("rslu_v", h)
+                slu = LU(h) + LU(h, 0, 1)
+                return jnp.where(slu > 1.5, 0.5, 1.0)
 
-        # In fast mode the u/v interps return the metric-weighted depths
-        # hhu*dyh / hhv*dxh (one profile factor instead of two): every
-        # consumer (continuity fluxes, pressure gradient, bp chains,
-        # tracer transports) wants exactly those products.
-        u_mt = (lambda h: MT(10, h)) if fast \
-            else (lambda h: MT(10, h) * MT(13, h))       # 1/dxt[*1/dyh]
-        v_mt = (lambda h: MT(11, h)) if fast \
-            else (lambda h: MT(12, h) * MT(11, h))       # 1/dyt[*1/dxh]
+            def _rslu_h(h):
+                if static_rslu:
+                    return SP("rslu_h", h)
+                slu = (LU(h) + LU(h, 1, 0) + LU(h, 0, 1) + LU(h, 1, 1))
+                # slu in {0..4}; select the reciprocal (1/3 rounds once,
+                # same as the division up to 1 ulp)
+                return jnp.where(
+                    slu > 3.5, 0.25,
+                    jnp.where(slu > 2.5, np.float32(1.0 / 3.0),
+                              jnp.where(slu > 1.5, 0.5, 1.0)))
 
-        def interp_u(h, aq0):
-            """aq0 must carry halo h+1. slu in {0,1,2}: the reciprocal is
-            an exact select (or a precomputed static plane), no
-            division."""
-            return (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0)) \
-                * _rslu_u(h) * u_mt(h)
+            # In fast mode the u/v interps return the metric-weighted
+            # depths hhu*dyh / hhv*dxh (one profile factor instead of
+            # two): every consumer (continuity fluxes, pressure gradient,
+            # bp chains, tracer transports) wants exactly those products.
+            u_mt = (lambda h: MT(10, h)) if fast \
+                else (lambda h: MT(10, h) * MT(13, h))     # 1/dxt[*1/dyh]
+            v_mt = (lambda h: MT(11, h)) if fast \
+                else (lambda h: MT(12, h) * MT(11, h))     # 1/dyt[*1/dxh]
 
-        def interp_v(h, aq0, aq0y):
-            """aq0y = aq0 lane-rolled by +1 (shared across interps)."""
-            return (sl(aq0, h + 1, h) + sl(aq0y, h + 1, h)) \
-                * _rslu_v(h) * v_mt(h)
+            def interp_u(h, aq0, haq):
+                """aq0 carries halo haq >= h+1. slu in {0,1,2}: the
+                reciprocal is an exact select (or a precomputed static
+                plane), no division."""
+                return (sl(aq0, haq, h) + sl(aq0, haq, h, 1, 0)) \
+                    * _rslu_u(h) * u_mt(h)
 
-        def interp_h(h, aq0, aq0y):
-            q = (sl(aq0, h + 1, h) + sl(aq0, h + 1, h, 1, 0)
-                 + sl(aq0y, h + 1, h) + sl(aq0y, h + 1, h, 1, 0))
-            return q * _rslu_h(h) \
-                * (MT(14, h) * MT(15, h))          # 1/(dxb*dyb)
+            def interp_v(h, aq0, aq0y, haq):
+                """aq0y = aq0 lane-rolled by +1 (shared across interps)."""
+                return (sl(aq0, haq, h) + sl(aq0y, haq, h)) \
+                    * _rslu_v(h) * v_mt(h)
 
-        if fast:
-            def aq_of(h, src):
-                # static planes 7 (lu*dx*dy) and the fused hr term fold
-                # the lu gating and metric product into one mul-add:
-                # aq = ssh*lu*dx*dy + hr*lu*dx*dy  (ffs=1)
-                if ffs:
-                    return sl(src, M, h) * SP(7, h) + sl(rslu_ref[8], M, h)
-                return sl(rslu_ref[8], M, h)
-        else:
-            def aq_of(h, src):
-                hq = sl(hr8, M, h) + sl(src, M, h) * float(ffs)
-                # (dx*dy) groups metric*metric so the chain stays 2 full-
-                # array muls off the state in profile mode
-                return hq * (MT(0, h) * MT(1, h)) * LU(h)
+            def interp_h(h, aq0, aq0y, haq):
+                q = (sl(aq0, haq, h) + sl(aq0, haq, h, 1, 0)
+                     + sl(aq0y, haq, h) + sl(aq0y, haq, h, 1, 0))
+                return q * _rslu_h(h) \
+                    * (MT(14, h) * MT(15, h))          # 1/(dxb*dyb)
 
-        def roll_y1(h, a):
-            """One shared lane roll per aq family (interp_v/h reuse it)."""
-            return sl(a, h, h, 0, 1)
-
-        # current-level depths (== new-level: hqn = h_r + ssh = hq);
-        # halo 3 so the deeper chains below stay in budget
-        aq_cur4 = aq_of(4, ssh8)
-        aq_cur4y = roll_y1(4, aq_cur4)
-        hu3 = interp_u(3, aq_cur4)
-        hv3 = interp_v(3, aq_cur4, aq_cur4y)
-        hh3 = interp_h(3, aq_cur4, aq_cur4y)
-        # previous-level depths (pointwise consumers in update_uv)
-        aq_prev2 = aq_of(2, sshp8)
-        hup1 = interp_u(1, aq_prev2)
-        hvp1 = interp_v(1, aq_prev2, roll_y1(2, aq_prev2))
-
-        # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
-        # uflux3/vflux3 double as uv_trans's u*dyh*hu / v*dxh*hv operands
-        if fast:
-            uflux3 = sl(u8, M, 3) * hu3      # hu3 already carries dyh
-            vflux3 = sl(v8, M, 3) * hv3      # hv3 already carries dxh
-        else:
-            uflux3 = sl(u8, M, 3) * hu3 * MT(5, 3)
-            vflux3 = sl(v8, M, 3) * hv3 * MT(4, 3)
-        div2 = (sl(uflux3, 3, 2) - sl(uflux3, 3, 2, -1, 0)
-                + sl(vflux3, 3, 2) - sl(vflux3, 3, 2, 0, -1)) * MT(9, 2)
-        if fast:
-            # the lu select is redundant here: every consumer re-masks
-            # (final writes select by wlu0; tracer aq carries the LU
-            # factor), and land fluxes are exactly zero via hu/hv
-            sshn2 = sl(sshp8, M, 2) - (2.0 * tau) * div2
-        else:
-            wlu2 = LU(2) > 0.5
-            sshn2 = jnp.where(
-                wlu2, sl(sshp8, M, 2) + 2.0 * tau * (-div2), 0.0)
-
-        # wet masks shared by advection / viscosity / momentum / tracers
-        u_c = sl(u8, M, 2)
-        v_c = sl(v8, M, 2)
-        if fast:
-            u_y1_2 = sl(u8, M, 2, 0, 1)     # the section's only u/v rolls
-            v_y1_2 = sl(v8, M, 2, 0, 1)
-            u_x1_2 = sl(u8, M, 2, 1, 0)
-            v_x1_2 = sl(v8, M, 2, 1, 0)
-            s2u = u_y1_2 + u_c              # shared: G2/M2/Coriolis
-            s2v = v_x1_2 + v_c              # shared: L2/H2/Coriolis
-            wlcu1 = SP(4, 1) > 0.5
-            wlcv1 = SP(5, 1) > 0.5
-        else:
-            wlcu1 = WLCU(1)
-            wlcv1 = WLCV(1)
-
-        # ---- momentum advection (uv_trans_vort + uv_trans) ----
-        if trans and fast:
-            # Profile-mode vorticity: with x-uniform metrics the four
-            # metric-weighted differences collapse onto three precomputed
-            # profile rows (16: dyt-dyb, 17: dxt(n+1)-dxb, 18: dxt-dxb):
-            #   vort = (v(m+1)-v)*(dyt-dyb) - u(n+1)*(dxt(n+1)-dxb)
-            #          + u*(dxt-dxb)
-            # — 3 muls off the state instead of the vd_t/ud_t halo-3
-            # products plus four differences. Masks are static planes;
-            # every 0.25 folds into one end-of-chain scaling.
-            wluu2f = SP(6, 2)
-            vort2 = ((v_x1_2 - v_c) * MT(16, 2)
-                     - u_y1_2 * MT(17, 2)
-                     + u_c * MT(18, 2)) * wluu2f
-            vorth2 = vort2 * sl(hh3, 3, 2)
-            ud2 = sl(uflux3, 3, 2)
-            ud2x = sl(uflux3, 3, 2, 1, 0)
-            ud2y = sl(uflux3, 3, 2, 0, 1)
-            vd2 = sl(vflux3, 3, 2)
-            vd2x = sl(vflux3, 3, 2, 1, 0)
-            vd2y = sl(vflux3, 3, 2, 0, 1)
-            # telescoped edge fluxes (see the non-fast branch); the 1/4
-            # moves to the rx/ry tail, the luu mask is a static plane
-            F2 = (ud2 + ud2x) * (u_c + u_x1_2)
-            G2 = (vd2 + vd2x) * (s2u * wluu2f)
-            K2 = (vd2 + vd2y) * (v_c + v_y1_2)
-            L2 = (ud2 + ud2y) * s2v
-            H2 = vorth2 * s2v
-            M2 = vorth2 * s2u
-            # the wlcu/wlcv selects are redundant (un1/vn1 re-select)
-            rx_adv1 = ((sl(H2, 2, 1) + sl(H2, 2, 1, 0, -1))
-                       - (sl(F2, 2, 1) - sl(F2, 2, 1, -1, 0))
-                       - (sl(G2, 2, 1) - sl(G2, 2, 1, 0, -1))) * 0.25
-            ry_adv1 = (-(sl(M2, 2, 1) + sl(M2, 2, 1, -1, 0))
-                       - (sl(L2, 2, 1) - sl(L2, 2, 1, -1, 0))
-                       - (sl(K2, 2, 1) - sl(K2, 2, 1, 0, -1))) * 0.25
-        elif trans:
-            wluu2 = WLUU(2)
-            vd_t = sl(v8, M, 3) * MT(3, 3)     # v*dyt at h3
-            ud_t = sl(u8, M, 3) * MT(2, 3)
-            vort2 = jnp.where(
-                wluu2,
-                (sl(vd_t, 3, 2, 1, 0) - sl(vd_t, 3, 2))
-                - (sl(ud_t, 3, 2, 0, 1) - sl(ud_t, 3, 2))
-                - ((sl(v8, M, 2, 1, 0) - v_c) * MT(7, 2)
-                   - (sl(u8, M, 2, 0, 1) - u_c) * MT(6, 2)), 0.0)
-
-            ud3 = uflux3                       # u*dyh*hu at h3
-            vd3 = vflux3
-            vorth2 = vort2 * sl(hh3, 3, 2)
-            luu2f = jnp.where(wluu2, 1.0, 0.0)
-
-            # Flux-form telescoping (uv_trans_kernel): the minus-side
-            # flux at a cell IS the plus-side flux of its neighbor, so
-            # each edge-flux field is computed ONCE at halo 2 and its
-            # shifted view supplies the minus side — bit-identical to
-            # evaluating both, at ~half the VPU work.
-            #   F(m,n) = (ud(m)+ud(m+1))(u(m)+u(m+1))/4    [fx_p; fx_m = F(m-1)]
-            #   G(m,n) = (vd(m)+vd(m+1))(u(n)+u(n+1))luu/4 [fy_p; fy_m = G(n-1)]
-            #   K(m,n) = (vd(n)+vd(n+1))(v(n)+v(n+1))/4    [gy_p; gy_m = K(n-1)]
-            #   L(m,n) = (ud(n)+ud(n+1))(v(m)+v(m+1))/4    [gx_p; gx_m = L(m-1)]
-            F2 = (sl(ud3, 3, 2) + sl(ud3, 3, 2, 1, 0)) \
-                * (sl(u8, M, 2) + sl(u8, M, 2, 1, 0)) * 0.25
-            G2 = (sl(vd3, 3, 2) + sl(vd3, 3, 2, 1, 0)) \
-                * (sl(u8, M, 2, 0, 1) + sl(u8, M, 2)) * (luu2f * 0.25)
-            K2 = (sl(vd3, 3, 2) + sl(vd3, 3, 2, 0, 1)) \
-                * (sl(v8, M, 2) + sl(v8, M, 2, 0, 1)) * 0.25
-            L2 = (sl(ud3, 3, 2) + sl(ud3, 3, 2, 0, 1)) \
-                * (sl(v8, M, 2, 1, 0) + sl(v8, M, 2)) * 0.25
-            # vorticity double-terms telescope the same way; the
-            # (v+v_x1)/(u+u_y1) factors are shared with Coriolis below
-            s2v = sl(v8, M, 2, 1, 0) + sl(v8, M, 2)
-            s2u = sl(u8, M, 2, 0, 1) + sl(u8, M, 2)
-            H2 = vorth2 * s2v                  # rx term; + H2(n-1)
-            M2 = vorth2 * s2u                  # ry term; + M2(m-1)
-
-            rx_adv1 = jnp.where(
-                wlcu1,
-                -(sl(F2, 2, 1) - sl(F2, 2, 1, -1, 0)
-                  + sl(G2, 2, 1) - sl(G2, 2, 1, 0, -1))
-                + (sl(H2, 2, 1) + sl(H2, 2, 1, 0, -1)) * 0.25,
-                0.0)
-            ry_adv1 = jnp.where(
-                wlcv1,
-                -(sl(L2, 2, 1) - sl(L2, 2, 1, -1, 0)
-                  + sl(K2, 2, 1) - sl(K2, 2, 1, 0, -1))
-                - (sl(M2, 2, 1) + sl(M2, 2, 1, -1, 0)) * 0.25,
-                0.0)
-        else:
-            rx_adv1 = 0.0
-            ry_adv1 = 0.0
-            if not fast:
-                s2v = sl(v8, M, 2, 1, 0) + sl(v8, M, 2)
-                s2u = sl(u8, M, 2, 0, 1) + sl(u8, M, 2)
-
-        # ---- lateral viscosity (stress_components + uv_diff2) ----
-        if visc and fast:
-            # static masks as 0/1 multiplies; dy/dx & dx/dy are profile
-            # rows 19/20; the rx/ry selects are dropped (un1 re-selects)
-            q3 = sl(up8, M, 3) * MT(13, 3)
-            r3 = sl(vp8, M, 3) * MT(12, 3)
-            str_t2 = (MT(19, 2) * (sl(q3, 3, 2) - sl(q3, 3, 2, -1, 0))
-                      - MT(20, 2) * (sl(r3, 3, 2) - sl(r3, 3, 2, 0, -1))) \
-                * SP(3, 2)
-            s1 = sl(up8, M, 3) * MT(10, 3)
-            s2 = sl(vp8, M, 3) * MT(11, 3)
-            str_s2 = ((MT(6, 2) * MT(15, 2)) * (sl(s1, 3, 2, 0, 1)
-                                                - sl(s1, 3, 2))
-                      + (MT(7, 2) * MT(14, 2)) * (sl(s2, 3, 2, 1, 0)
-                                                  - sl(s2, 3, 2))) \
-                * SP(6, 2)
-            hq2 = sl(hr8, M, 2) + sl(ssh8, M, 2) * float(ffs)
-            t2 = hq2 * str_t2
-            a2 = (MT(1, 2) * MT(1, 2) * mu_const) * t2
-            b2 = (MT(0, 2) * MT(0, 2) * mu_const) * t2
-            hs2 = sl(hh3, 3, 2) * str_s2
-            D2 = (MT(6, 2) * MT(6, 2) * mu_const) * hs2
-            E2 = (MT(7, 2) * MT(7, 2) * mu_const) * hs2
-            rx_dif1 = (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) * MT(13, 1) \
-                + (sl(D2, 2, 1) - sl(D2, 2, 1, 0, -1)) * MT(10, 1)
-            ry_dif1 = -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) * MT(12, 1) \
-                + (sl(E2, 2, 1) - sl(E2, 2, 1, -1, 0)) * MT(11, 1)
-        elif visc:
-            q3 = sl(up8, M, 3) * MT(13, 3)
-            r3 = sl(vp8, M, 3) * MT(12, 3)
-            dy_dx = MT(1, 2) / MT(0, 2)        # profile mode: row ratios,
-            dx_dy = MT(0, 2) / MT(1, 2)        # the divisions touch Ys pts
-            str_t2 = jnp.where(
-                wlu2,
-                dy_dx * (sl(q3, 3, 2) - sl(q3, 3, 2, -1, 0))
-                - dx_dy * (sl(r3, 3, 2) - sl(r3, 3, 2, 0, -1)), 0.0)
-            s1 = sl(up8, M, 3) * MT(10, 3)
-            s2 = sl(vp8, M, 3) * MT(11, 3)
-            str_s2 = jnp.where(
-                WLUU(2),
-                (MT(6, 2) * MT(15, 2)) * (sl(s1, 3, 2, 0, 1)
-                                          - sl(s1, 3, 2))
-                + (MT(7, 2) * MT(14, 2)) * (sl(s2, 3, 2, 1, 0)
-                                            - sl(s2, 3, 2)), 0.0)
-
-            hq2 = sl(hr8, M, 2) + sl(ssh8, M, 2) * float(ffs)
-            t2 = hq2 * str_t2                  # shared T-point stress
-            a2 = (MT(1, 2) * MT(1, 2) * mu_const) * t2
-            b2 = (MT(0, 2) * MT(0, 2) * mu_const) * t2
-            # H-point stress terms telescope (uv_diff2_kernel): the
-            # minus side is the same field at (n-1)/(m-1) — shifting the
-            # product also shifts its metric factor, exactly as the
-            # reference evaluates dxb/dyb at the shifted point
-            hs2 = sl(hh3, 3, 2) * str_s2
-            D2 = (MT(6, 2) * MT(6, 2) * mu_const) * hs2    # dxb^2 mu hh ss
-            E2 = (MT(7, 2) * MT(7, 2) * mu_const) * hs2    # dyb^2 mu hh ss
-            rx_dif1 = jnp.where(
-                wlcu1,
-                (sl(a2, 2, 1, 1, 0) - sl(a2, 2, 1)) * MT(13, 1)
-                + (sl(D2, 2, 1) - sl(D2, 2, 1, 0, -1)) * MT(10, 1),
-                0.0)
-            ry_dif1 = jnp.where(
-                wlcv1,
-                -(sl(b2, 2, 1, 0, 1) - sl(b2, 2, 1)) * MT(12, 1)
-                + (sl(E2, 2, 1) - sl(E2, 2, 1, -1, 0)) * MT(11, 1),
-                0.0)
-        else:
-            rx_dif1 = 0.0
-            ry_dif1 = 0.0
-
-        # ---- momentum update at halo 1 (sw_update_uv) ----
-        hu1 = sl(hu3, 3, 1)
-        hv1 = sl(hv3, 3, 1)
-        if fast:
-            # profile row 21 = rlh_s*dxb*dyb*0.25 — the Coriolis 1/4
-            # folds into the precomputed profile
-            corio2 = MT(21, 2) * sl(hh3, 3, 2)
-        else:
-            corio2 = (MT(8, 2) * MT(6, 2) * MT(7, 2)) * sl(hh3, 3, 2)
-        ssh_c2 = sl(ssh8, M, 2)
-        up1 = sl(up8, M, 1)
-        vp1 = sl(vp8, M, 1)
-
-        # Coriolis double-terms telescope like the advection ones:
-        # C2v(n-1) / C2u(m-1) are the second summands
-        C2v = corio2 * s2v
-        C2u = corio2 * s2u
-
-        cpair_x = sl(C2v, 2, 1) + sl(C2v, 2, 1, 0, -1)
-        cpair_y = sl(C2u, 2, 1) + sl(C2u, 2, 1, -1, 0)
-        if not fast:
-            cpair_x = cpair_x * 0.25
-            cpair_y = cpair_y * 0.25
-
-        if fast:
-            # hu/hv carry dyh/dxh already; the 0-division at all-land
-            # points yields inf/nan in the *discarded* select branch
-            bpm_u = MT(2, 1) * inv2tau          # dxt/2tau
-            bpm_v = MT(3, 1) * inv2tau          # dyt/2tau
-            slx_m = -g
-            sly_m = -g
-            guard_u = lambda b: b
-            guard_v = lambda b: b
-        else:
-            bpm_u = MT(2, 1) * MT(5, 1) * inv2tau   # dxt*dyh/2tau
-            bpm_v = MT(3, 1) * MT(4, 1) * inv2tau   # dyt*dxh/2tau
-            slx_m = MT(5, 1) * (-g)
-            sly_m = MT(4, 1) * (-g)
-            guard_u = lambda b: jnp.where(wlcu1, b, 1.0)
-            guard_v = lambda b: jnp.where(wlcv1, b, 1.0)
-        bp_u = hu1 * bpm_u                  # hhun == hhu (see docstring)
-        bp0_u = hup1 * bpm_u
-        slx = (sl(ssh_c2, 2, 1, 1, 0) - sl(ssh_c2, 2, 1)) \
-            * hu1 * slx_m
-        grx = slx + rx_dif1 + rx_adv1 + cpair_x
-        un1 = jnp.where(
-            wlcu1, (up1 * bp0_u + grx) / guard_u(bp_u), 0.0)
-
-        bp_v = hv1 * bpm_v
-        bp0_v = hvp1 * bpm_v
-        sly = (sl(ssh_c2, 2, 1, 0, 1) - sl(ssh_c2, 2, 1)) \
-            * hv1 * sly_m
-        gry = sly + ry_dif1 + ry_adv1 - cpair_y
-        vn1 = jnp.where(
-            wlcv1, (vp1 * bp0_v + gry) / guard_v(bp_v), 0.0)
-
-        # ---- leapfrog rotation + Robert-Asselin filter (sw_next_step) ----
-        if fast:
-            wlu0 = SP(3, 0) > 0.5
-            wlcu0 = SP(4, 0) > 0.5
-            wlcv0 = SP(5, 0) > 0.5
-        else:
-            wlu0 = LU(0) > 0.5
-            wlcu0 = WLCU(0)
-            wlcv0 = WLCV(0)
-        ssh0 = sl(ssh8, M, 0)
-        sshp0 = sl(sshp8, M, 0)
-        u0 = sl(u8, M, 0)
-        v0 = sl(v8, M, 0)
-        sshn0 = sl(sshn2, 2, 0)
-        un0 = sl(un1, 1, 0)
-        vn0 = sl(vn1, 1, 0)
-        up0 = sl(up8, M, 0)
-        vp0 = sl(vp8, M, 0)
-
-        ts2 = ts * 0.5                      # trace-time constant fold
-        ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
-        sshp_new0 = jnp.where(
-            wlu0, ssh0 + ts2 * (sshn0 - 2.0 * ssh0 + sshp0), sshp0)
-        ssh_o[...] = fin(ssh_new0)
-        sshp_o[...] = fin(sshp_new0)
-        u_o[...] = fin(jnp.where(wlcu0, un0, u0))
-        up_o[...] = fin(jnp.where(
-            wlcu0, u0 + ts2 * (un0 - 2.0 * u0 + up0), up0))
-        v_o[...] = fin(jnp.where(wlcv0, vn0, v0))
-        vp_o[...] = fin(jnp.where(
-            wlcv0, v0 + ts2 * (vn0 - 2.0 * v0 + vp0), vp0))
-
-        # ---- tracer pass (expl_tracer, runs after the SW step) ----
-        if n_tracers:
-            # post-step depths: hh_init from the NEW (ssh, sshp) sets
-            # hhu = interp(h_r + ssh_new), hhq_n = h_r,
-            # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
             if fast:
-                # land values of sshn2 are killed by the lu*dx*dy plane
-                if ffs:
-                    aq_new2 = sshn2 * SP(7, 2) + sl(rslu_ref[8], M, 2)
-                else:
-                    aq_new2 = sl(rslu_ref[8], M, 2)
+                def aq_of(h, src):
+                    # ludxdy / hrludxdy fold the lu gating and metric
+                    # product into one mul-add:
+                    # aq = ssh*lu*dx*dy + hr*lu*dx*dy  (ffs=1)
+                    if ffs:
+                        return sl(src, hb, h) * SP("ludxdy", h) \
+                            + SP("hrludxdy", h)
+                    return SP("hrludxdy", h)
             else:
-                ssh_new2 = jnp.where(wlu2, sshn2, ssh_c2)
-                aq_new2 = (sl(hr8, M, 2) + ssh_new2 * float(ffs)) \
-                    * (MT(0, 2) * MT(1, 2)) * LU(2)
-            hun1 = interp_u(1, aq_new2)
-            hvn1 = interp_v(1, aq_new2, roll_y1(2, aq_new2))
-            u_new1 = jnp.where(wlcu1, un1, sl(u8, M, 1))
-            v_new1 = jnp.where(wlcv1, vn1, sl(v8, M, 1))
+                def aq_of(h, src):
+                    hq = sl(hr8, M, h) + sl(src, hb, h) * float(ffs)
+                    # (dx*dy) groups metric*metric so the chain stays 2
+                    # full-array muls off the state in profile mode
+                    return hq * (MT(0, h) * MT(1, h)) * LU(h)
+
+            def roll_y1(h, a):
+                """One shared lane roll per aq family."""
+                return sl(a, h, h, 0, 1)
+
+            # current-level depths (== new-level: hqn = h_r + ssh = hq);
+            # halo 3 so the deeper chains below stay in budget
+            h4, h3, h2, h1 = 4 + ho, 3 + ho, 2 + ho, 1 + ho
+            aq_cur4 = aq_of(h4, ssh8)
+            aq_cur4y = roll_y1(h4, aq_cur4)
+            hu3 = interp_u(h3, aq_cur4, h4)
+            hv3 = interp_v(h3, aq_cur4, aq_cur4y, h4)
+            hh3 = interp_h(h3, aq_cur4, aq_cur4y, h4)
+            # previous-level depths (pointwise consumers in update_uv)
+            aq_prev2 = aq_of(h2, sshp8)
+            hup1 = interp_u(h1, aq_prev2, h2)
+            hvp1 = interp_v(h1, aq_prev2, roll_y1(h2, aq_prev2), h2)
+
+            # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
+            # uflux3/vflux3 double as uv_trans's u*dyh*hu / v*dxh*hv
+            if fast:
+                uflux3 = sl(u8, hb, h3) * hu3   # hu3 already carries dyh
+                vflux3 = sl(v8, hb, h3) * hv3   # hv3 already carries dxh
+            else:
+                uflux3 = sl(u8, hb, h3) * hu3 * MT(5, h3)
+                vflux3 = sl(v8, hb, h3) * hv3 * MT(4, h3)
+            div2 = (sl(uflux3, h3, h2) - sl(uflux3, h3, h2, -1, 0)
+                    + sl(vflux3, h3, h2) - sl(vflux3, h3, h2, 0, -1)) \
+                * MT(9, h2)
+            if fast:
+                # the lu select is redundant here: every consumer
+                # re-masks (final writes select by wlu0; tracer aq
+                # carries the LU factor), and land fluxes are exactly
+                # zero via hu/hv
+                sshn2 = sl(sshp8, hb, h2) - (2.0 * tau) * div2
+            else:
+                wlu2 = LU(h2) > 0.5
+                sshn2 = jnp.where(
+                    wlu2, sl(sshp8, hb, h2) + 2.0 * tau * (-div2), 0.0)
+
+            # wet masks shared by advection / viscosity / momentum /
+            # tracers
+            u_c = sl(u8, hb, h2)
+            v_c = sl(v8, hb, h2)
+            if fast:
+                u_y1_2 = sl(u8, hb, h2, 0, 1)  # the section's only rolls
+                v_y1_2 = sl(v8, hb, h2, 0, 1)
+                u_x1_2 = sl(u8, hb, h2, 1, 0)
+                v_x1_2 = sl(v8, hb, h2, 1, 0)
+                s2u = u_y1_2 + u_c             # shared: G2/M2/Coriolis
+                s2v = v_x1_2 + v_c             # shared: L2/H2/Coriolis
+                wlcu1 = SP("wlcu", h1) > 0.5
+                wlcv1 = SP("wlcv", h1) > 0.5
+            else:
+                wlcu1 = WLCU(h1)
+                wlcv1 = WLCV(h1)
+
+            # ---- momentum advection (uv_trans_vort + uv_trans) ----
+            if trans and fast:
+                # Profile-mode vorticity: with x-uniform metrics the four
+                # metric-weighted differences collapse onto three
+                # precomputed profile rows (16: dyt-dyb,
+                # 17: dxt(n+1)-dxb, 18: dxt-dxb):
+                #   vort = (v(m+1)-v)*(dyt-dyb) - u(n+1)*(dxt(n+1)-dxb)
+                #          + u*(dxt-dxb)
+                # — 3 muls off the state instead of the vd_t/ud_t halo-3
+                # products plus four differences. Masks are static
+                # planes; every 0.25 folds into one end-of-chain scaling.
+                wluu2f = SP("wluu", h2)
+                vort2 = ((v_x1_2 - v_c) * MT(16, h2)
+                         - u_y1_2 * MT(17, h2)
+                         + u_c * MT(18, h2)) * wluu2f
+                vorth2 = vort2 * sl(hh3, h3, h2)
+                ud2 = sl(uflux3, h3, h2)
+                ud2x = sl(uflux3, h3, h2, 1, 0)
+                ud2y = sl(uflux3, h3, h2, 0, 1)
+                vd2 = sl(vflux3, h3, h2)
+                vd2x = sl(vflux3, h3, h2, 1, 0)
+                vd2y = sl(vflux3, h3, h2, 0, 1)
+                # telescoped edge fluxes (see the non-fast branch); the
+                # 1/4 moves to the rx/ry tail, the luu mask is static
+                F2 = (ud2 + ud2x) * (u_c + u_x1_2)
+                G2 = (vd2 + vd2x) * (s2u * wluu2f)
+                K2 = (vd2 + vd2y) * (v_c + v_y1_2)
+                L2 = (ud2 + ud2y) * s2v
+                H2 = vorth2 * s2v
+                M2 = vorth2 * s2u
+                # the wlcu/wlcv selects are redundant (un1/vn1 re-select)
+                rx_adv1 = ((sl(H2, h2, h1) + sl(H2, h2, h1, 0, -1))
+                           - (sl(F2, h2, h1) - sl(F2, h2, h1, -1, 0))
+                           - (sl(G2, h2, h1) - sl(G2, h2, h1, 0, -1))) \
+                    * 0.25
+                ry_adv1 = (-(sl(M2, h2, h1) + sl(M2, h2, h1, -1, 0))
+                           - (sl(L2, h2, h1) - sl(L2, h2, h1, -1, 0))
+                           - (sl(K2, h2, h1) - sl(K2, h2, h1, 0, -1))) \
+                    * 0.25
+            elif trans:
+                wluu2 = WLUU(h2)
+                vd_t = sl(v8, hb, h3) * MT(3, h3)     # v*dyt at h3
+                ud_t = sl(u8, hb, h3) * MT(2, h3)
+                vort2 = jnp.where(
+                    wluu2,
+                    (sl(vd_t, h3, h2, 1, 0) - sl(vd_t, h3, h2))
+                    - (sl(ud_t, h3, h2, 0, 1) - sl(ud_t, h3, h2))
+                    - ((sl(v8, hb, h2, 1, 0) - v_c) * MT(7, h2)
+                       - (sl(u8, hb, h2, 0, 1) - u_c) * MT(6, h2)), 0.0)
+
+                ud3 = uflux3                       # u*dyh*hu at h3
+                vd3 = vflux3
+                vorth2 = vort2 * sl(hh3, h3, h2)
+                luu2f = jnp.where(wluu2, 1.0, 0.0)
+
+                # Flux-form telescoping (uv_trans_kernel): the minus-side
+                # flux at a cell IS the plus-side flux of its neighbor,
+                # so each edge-flux field is computed ONCE at halo 2 and
+                # its shifted view supplies the minus side —
+                # bit-identical to evaluating both, at ~half the VPU
+                # work.
+                #   F(m,n) = (ud(m)+ud(m+1))(u(m)+u(m+1))/4
+                #   G(m,n) = (vd(m)+vd(m+1))(u(n)+u(n+1))luu/4
+                #   K(m,n) = (vd(n)+vd(n+1))(v(n)+v(n+1))/4
+                #   L(m,n) = (ud(n)+ud(n+1))(v(m)+v(m+1))/4
+                F2 = (sl(ud3, h3, h2) + sl(ud3, h3, h2, 1, 0)) \
+                    * (sl(u8, hb, h2) + sl(u8, hb, h2, 1, 0)) * 0.25
+                G2 = (sl(vd3, h3, h2) + sl(vd3, h3, h2, 1, 0)) \
+                    * (sl(u8, hb, h2, 0, 1) + sl(u8, hb, h2)) \
+                    * (luu2f * 0.25)
+                K2 = (sl(vd3, h3, h2) + sl(vd3, h3, h2, 0, 1)) \
+                    * (sl(v8, hb, h2) + sl(v8, hb, h2, 0, 1)) * 0.25
+                L2 = (sl(ud3, h3, h2) + sl(ud3, h3, h2, 0, 1)) \
+                    * (sl(v8, hb, h2, 1, 0) + sl(v8, hb, h2)) * 0.25
+                # vorticity double-terms telescope the same way; the
+                # (v+v_x1)/(u+u_y1) factors are shared with Coriolis
+                s2v = sl(v8, hb, h2, 1, 0) + sl(v8, hb, h2)
+                s2u = sl(u8, hb, h2, 0, 1) + sl(u8, hb, h2)
+                H2 = vorth2 * s2v              # rx term; + H2(n-1)
+                M2 = vorth2 * s2u              # ry term; + M2(m-1)
+
+                rx_adv1 = jnp.where(
+                    wlcu1,
+                    -(sl(F2, h2, h1) - sl(F2, h2, h1, -1, 0)
+                      + sl(G2, h2, h1) - sl(G2, h2, h1, 0, -1))
+                    + (sl(H2, h2, h1) + sl(H2, h2, h1, 0, -1)) * 0.25,
+                    0.0)
+                ry_adv1 = jnp.where(
+                    wlcv1,
+                    -(sl(L2, h2, h1) - sl(L2, h2, h1, -1, 0)
+                      + sl(K2, h2, h1) - sl(K2, h2, h1, 0, -1))
+                    - (sl(M2, h2, h1) + sl(M2, h2, h1, -1, 0)) * 0.25,
+                    0.0)
+            else:
+                rx_adv1 = 0.0
+                ry_adv1 = 0.0
+                if not fast:
+                    s2v = sl(v8, hb, h2, 1, 0) + sl(v8, hb, h2)
+                    s2u = sl(u8, hb, h2, 0, 1) + sl(u8, hb, h2)
+
+            # ---- lateral viscosity (stress_components + uv_diff2) ----
+            if visc and fast:
+                # static masks as 0/1 multiplies; dy/dx & dx/dy are
+                # profile rows 19/20; the rx/ry selects are dropped
+                # (un1 re-selects)
+                q3 = sl(up8, hb, h3) * MT(13, h3)
+                r3 = sl(vp8, hb, h3) * MT(12, h3)
+                str_t2 = (MT(19, h2) * (sl(q3, h3, h2)
+                                        - sl(q3, h3, h2, -1, 0))
+                          - MT(20, h2) * (sl(r3, h3, h2)
+                                          - sl(r3, h3, h2, 0, -1))) \
+                    * SP("wlu", h2)
+                s1 = sl(up8, hb, h3) * MT(10, h3)
+                s2 = sl(vp8, hb, h3) * MT(11, h3)
+                str_s2 = ((MT(6, h2) * MT(15, h2))
+                          * (sl(s1, h3, h2, 0, 1) - sl(s1, h3, h2))
+                          + (MT(7, h2) * MT(14, h2))
+                          * (sl(s2, h3, h2, 1, 0) - sl(s2, h3, h2))) \
+                    * SP("wluu", h2)
+                hq2 = sl(hr8, M, h2) + sl(ssh8, hb, h2) * float(ffs)
+                t2 = hq2 * str_t2
+                a2 = (MT(1, h2) * MT(1, h2) * mu_const) * t2
+                b2 = (MT(0, h2) * MT(0, h2) * mu_const) * t2
+                hs2 = sl(hh3, h3, h2) * str_s2
+                D2 = (MT(6, h2) * MT(6, h2) * mu_const) * hs2
+                E2 = (MT(7, h2) * MT(7, h2) * mu_const) * hs2
+                rx_dif1 = (sl(a2, h2, h1, 1, 0) - sl(a2, h2, h1)) \
+                    * MT(13, h1) \
+                    + (sl(D2, h2, h1) - sl(D2, h2, h1, 0, -1)) * MT(10, h1)
+                ry_dif1 = -(sl(b2, h2, h1, 0, 1) - sl(b2, h2, h1)) \
+                    * MT(12, h1) \
+                    + (sl(E2, h2, h1) - sl(E2, h2, h1, -1, 0)) * MT(11, h1)
+            elif visc:
+                q3 = sl(up8, hb, h3) * MT(13, h3)
+                r3 = sl(vp8, hb, h3) * MT(12, h3)
+                dy_dx = MT(1, h2) / MT(0, h2)  # profile mode: row ratios,
+                dx_dy = MT(0, h2) / MT(1, h2)  # divisions touch Ys points
+                wlu2v = LU(h2) > 0.5
+                str_t2 = jnp.where(
+                    wlu2v,
+                    dy_dx * (sl(q3, h3, h2) - sl(q3, h3, h2, -1, 0))
+                    - dx_dy * (sl(r3, h3, h2) - sl(r3, h3, h2, 0, -1)),
+                    0.0)
+                s1 = sl(up8, hb, h3) * MT(10, h3)
+                s2 = sl(vp8, hb, h3) * MT(11, h3)
+                str_s2 = jnp.where(
+                    WLUU(h2),
+                    (MT(6, h2) * MT(15, h2)) * (sl(s1, h3, h2, 0, 1)
+                                                - sl(s1, h3, h2))
+                    + (MT(7, h2) * MT(14, h2)) * (sl(s2, h3, h2, 1, 0)
+                                                  - sl(s2, h3, h2)), 0.0)
+
+                hq2 = sl(hr8, M, h2) + sl(ssh8, hb, h2) * float(ffs)
+                t2 = hq2 * str_t2              # shared T-point stress
+                a2 = (MT(1, h2) * MT(1, h2) * mu_const) * t2
+                b2 = (MT(0, h2) * MT(0, h2) * mu_const) * t2
+                # H-point stress terms telescope (uv_diff2_kernel): the
+                # minus side is the same field at (n-1)/(m-1) — shifting
+                # the product also shifts its metric factor, exactly as
+                # the reference evaluates dxb/dyb at the shifted point
+                hs2 = sl(hh3, h3, h2) * str_s2
+                D2 = (MT(6, h2) * MT(6, h2) * mu_const) * hs2
+                E2 = (MT(7, h2) * MT(7, h2) * mu_const) * hs2
+                rx_dif1 = jnp.where(
+                    wlcu1,
+                    (sl(a2, h2, h1, 1, 0) - sl(a2, h2, h1)) * MT(13, h1)
+                    + (sl(D2, h2, h1) - sl(D2, h2, h1, 0, -1))
+                    * MT(10, h1),
+                    0.0)
+                ry_dif1 = jnp.where(
+                    wlcv1,
+                    -(sl(b2, h2, h1, 0, 1) - sl(b2, h2, h1)) * MT(12, h1)
+                    + (sl(E2, h2, h1) - sl(E2, h2, h1, -1, 0))
+                    * MT(11, h1),
+                    0.0)
+            else:
+                rx_dif1 = 0.0
+                ry_dif1 = 0.0
+
+            # ---- momentum update at halo 1 (sw_update_uv) ----
+            hu1 = sl(hu3, h3, h1)
+            hv1 = sl(hv3, h3, h1)
+            if fast:
+                # profile row 21 = rlh_s*dxb*dyb*0.25 — the Coriolis 1/4
+                # folds into the precomputed profile
+                corio2 = MT(21, h2) * sl(hh3, h3, h2)
+            else:
+                corio2 = (MT(8, h2) * MT(6, h2) * MT(7, h2)) \
+                    * sl(hh3, h3, h2)
+            ssh_c2 = sl(ssh8, hb, h2)
+            up1 = sl(up8, hb, h1)
+            vp1 = sl(vp8, hb, h1)
+
+            # Coriolis double-terms telescope like the advection ones:
+            # C2v(n-1) / C2u(m-1) are the second summands
+            C2v = corio2 * s2v
+            C2u = corio2 * s2u
+
+            cpair_x = sl(C2v, h2, h1) + sl(C2v, h2, h1, 0, -1)
+            cpair_y = sl(C2u, h2, h1) + sl(C2u, h2, h1, -1, 0)
+            if not fast:
+                cpair_x = cpair_x * 0.25
+                cpair_y = cpair_y * 0.25
 
             if fast:
-                # flux masks as 0/1 static-plane multiplies, hoisted onto
-                # the tracer-independent transport products
-                uh1 = (u_new1 * hun1) * SP(4, 1)
-                vh1 = (v_new1 * hvn1) * SP(5, 1)
-                diffusive = mu_const != 0.0
-                if diffusive:
-                    hun1m = hun1 * SP(4, 1)
-                    hvn1m = hvn1 * SP(5, 1)
-            for t in range(n_tracers):
-                ff8 = tr_refs[2 * t][...]
-                ffp8 = tr_refs[2 * t + 1][...]
-                ff_o = tr_outs[2 * t]
-                ffp_o = tr_outs[2 * t + 1]
+                # hu/hv carry dyh/dxh already; the 0-division at all-land
+                # points yields inf/nan in the *discarded* select branch
+                bpm_u = MT(2, h1) * inv2tau         # dxt/2tau
+                bpm_v = MT(3, h1) * inv2tau         # dyt/2tau
+                slx_m = -g
+                sly_m = -g
+                guard_u = lambda b: b
+                guard_v = lambda b: b
+            else:
+                bpm_u = MT(2, h1) * MT(5, h1) * inv2tau  # dxt*dyh/2tau
+                bpm_v = MT(3, h1) * MT(4, h1) * inv2tau  # dyt*dxh/2tau
+                slx_m = MT(5, h1) * (-g)
+                sly_m = MT(4, h1) * (-g)
+                guard_u = lambda b: jnp.where(wlcu1, b, 1.0)
+                guard_v = lambda b: jnp.where(wlcv1, b, 1.0)
+            bp_u = hu1 * bpm_u              # hhun == hhu (see docstring)
+            bp0_u = hup1 * bpm_u
+            slx = (sl(ssh_c2, h2, h1, 1, 0) - sl(ssh_c2, h2, h1)) \
+                * hu1 * slx_m
+            grx = slx + rx_dif1 + rx_adv1 + cpair_x
+            un1 = jnp.where(
+                wlcu1, (up1 * bp0_u + grx) / guard_u(bp_u), 0.0)
 
-                ff2 = sl(ff8, M, 2)
-                # fluxes (tran_diff_fluxes_kernel): advective + diffusive
-                if not fast or diffusive:
-                    dfdx = sl(ff2, 2, 1, 1, 0) - sl(ff2, 2, 1)
-                    # (mu+mu)/2 * factor(=1) * dyh/dxt; in fast mode the
-                    # dyh/dxh ride inside hun1/hvn1 already
-                    mu_x = mu_const * (MT(10, 1) if fast
-                                       else MT(5, 1) * MT(10, 1))
-                    dfdy = sl(ff2, 2, 1, 0, 1) - sl(ff2, 2, 1)
-                    mu_y = mu_const * (MT(11, 1) if fast
-                                       else MT(4, 1) * MT(11, 1))
+            bp_v = hv1 * bpm_v
+            bp0_v = hvp1 * bpm_v
+            sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
+                * hv1 * sly_m
+            gry = sly + ry_dif1 + ry_adv1 - cpair_y
+            vn1 = jnp.where(
+                wlcv1, (vp1 * bp0_v + gry) / guard_v(bp_v), 0.0)
+
+            # ---- leapfrog rotation + filter (sw_next_step) ----
+            if fast:
+                wlu0 = SP("ludxdy", ho) > 0.5
+                wlcu0 = SP("wlcu", ho) > 0.5
+                wlcv0 = SP("wlcv", ho) > 0.5
+            else:
+                wlu0 = LU(ho) > 0.5
+                wlcu0 = WLCU(ho)
+                wlcv0 = WLCV(ho)
+            ssh0 = sl(ssh8, hb, ho)
+            sshp0 = sl(sshp8, hb, ho)
+            u0 = sl(u8, hb, ho)
+            v0 = sl(v8, hb, ho)
+            sshn0 = sl(sshn2, h2, ho)
+            un0 = sl(un1, h1, ho)
+            vn0 = sl(vn1, h1, ho)
+            up0 = sl(up8, hb, ho)
+            vp0 = sl(vp8, hb, ho)
+
+            ts2 = ts * 0.5                  # trace-time constant fold
+            ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
+            sshp_new0 = jnp.where(
+                wlu0, ssh0 + ts2 * (sshn0 - 2.0 * ssh0 + sshp0), sshp0)
+            u_new0 = jnp.where(wlcu0, un0, u0)
+            up_new0 = jnp.where(
+                wlcu0, u0 + ts2 * (un0 - 2.0 * u0 + up0), up0)
+            v_new0 = jnp.where(wlcv0, vn0, v0)
+            vp_new0 = jnp.where(
+                wlcv0, v0 + ts2 * (vn0 - 2.0 * v0 + vp0), vp0)
+            new_state = (ssh_new0, sshp_new0, u_new0, up_new0,
+                         v_new0, vp_new0)
+
+            # ---- tracer pass (expl_tracer, runs after the SW step) ----
+            new_tracers = []
+            if n_tracers:
+                # post-step depths: hh_init from the NEW (ssh, sshp) sets
+                # hhu = interp(h_r + ssh_new), hhq_n = h_r,
+                # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
                 if fast:
-                    fx1 = uh1 * ((sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0))
-                                 * -0.5)
-                    fy1 = vh1 * ((sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1))
-                                 * -0.5)
-                    if diffusive:
-                        fx1 = fx1 + mu_x * hun1m * dfdx
-                        fy1 = fy1 + mu_y * hvn1m * dfdy
+                    # land values of sshn2 are killed by the ludxdy plane
+                    if ffs:
+                        aq_new2 = sshn2 * SP("ludxdy", h2) \
+                            + SP("hrludxdy", h2)
+                    else:
+                        aq_new2 = SP("hrludxdy", h2)
                 else:
-                    fx1 = jnp.where(
-                        wlcu1,
-                        (u_new1 * hun1)
-                        * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 1, 0))
-                        * (MT(5, 1) * -0.5)
-                        + mu_x * hun1 * dfdx, 0.0)
-                    fy1 = jnp.where(
-                        wlcv1,
-                        (v_new1 * hvn1)
-                        * (sl(ff2, 2, 1) + sl(ff2, 2, 1, 0, 1))
-                        * (MT(4, 1) * -0.5)
-                        + mu_y * hvn1 * dfdy, 0.0)
+                    ssh_new2 = jnp.where(LU(h2) > 0.5, sshn2, ssh_c2)
+                    aq_new2 = (sl(hr8, M, h2) + ssh_new2 * float(ffs)) \
+                        * (MT(0, h2) * MT(1, h2)) * LU(h2)
+                hun1 = interp_u(h1, aq_new2, h2)
+                hvn1 = interp_v(h1, aq_new2, roll_y1(h2, aq_new2), h2)
+                u_new1 = jnp.where(wlcu1, un1, sl(u8, hb, h1))
+                v_new1 = jnp.where(wlcv1, vn1, sl(v8, hb, h1))
 
-                # leapfrog update (tran_diff_tracer_kernel):
-                # bp = hhq_n*area/2tau with hhq_n = h_r,
-                # bp0 with hhq_p = h_r + sshp_new*ffs
-                hr0 = sl(hr8, M, 0)
-                area0 = MT(0, 0) * MT(1, 0) * inv2tau
-                bp = hr0 * area0
-                bp0 = (hr0 + sshp_new0 * float(ffs)) * area0
-                rhs = (sl(fx1, 1, 0) - sl(fx1, 1, 0, -1, 0)
-                       + sl(fy1, 1, 0) - sl(fy1, 1, 0, 0, -1))
-                ffp0 = sl(ffp8, M, 0)
-                ff0 = sl(ff8, M, 0)
-                bp_g = bp if fast else jnp.where(wlu0, bp, 1.0)
-                ffn0 = jnp.where(
-                    wlu0, (bp0 * ffp0 + rhs) / bp_g, 0.0)
-                # filter + rotation (tracer_next_step_kernel)
-                ff_o[...] = fin(jnp.where(wlu0, ffn0, ff0))
-                ffp_o[...] = fin(jnp.where(
-                    wlu0, ff0 + ts2 * (ffn0 - 2.0 * ff0 + ffp0),
-                    ffp0))
+                if fast:
+                    # flux masks as 0/1 static-plane multiplies, hoisted
+                    # onto the tracer-independent transport products
+                    uh1 = (u_new1 * hun1) * SP("wlcu", h1)
+                    vh1 = (v_new1 * hvn1) * SP("wlcv", h1)
+                    diffusive = mu_const != 0.0
+                    if diffusive:
+                        hun1m = hun1 * SP("wlcu", h1)
+                        hvn1m = hvn1 * SP("wlcv", h1)
+                for t in range(n_tracers):
+                    ff8 = tracers[2 * t]
+                    ffp8 = tracers[2 * t + 1]
+
+                    ff2 = sl(ff8, hb, h2)
+                    # fluxes (tran_diff_fluxes_kernel): advective +
+                    # diffusive
+                    if not fast or diffusive:
+                        dfdx = sl(ff2, h2, h1, 1, 0) - sl(ff2, h2, h1)
+                        # (mu+mu)/2 * factor(=1) * dyh/dxt; in fast mode
+                        # the dyh/dxh ride inside hun1/hvn1 already
+                        mu_x = mu_const * (MT(10, h1) if fast
+                                           else MT(5, h1) * MT(10, h1))
+                        dfdy = sl(ff2, h2, h1, 0, 1) - sl(ff2, h2, h1)
+                        mu_y = mu_const * (MT(11, h1) if fast
+                                           else MT(4, h1) * MT(11, h1))
+                    if fast:
+                        fx1 = uh1 * ((sl(ff2, h2, h1)
+                                      + sl(ff2, h2, h1, 1, 0)) * -0.5)
+                        fy1 = vh1 * ((sl(ff2, h2, h1)
+                                      + sl(ff2, h2, h1, 0, 1)) * -0.5)
+                        if diffusive:
+                            fx1 = fx1 + mu_x * hun1m * dfdx
+                            fy1 = fy1 + mu_y * hvn1m * dfdy
+                    else:
+                        fx1 = jnp.where(
+                            wlcu1,
+                            (u_new1 * hun1)
+                            * (sl(ff2, h2, h1) + sl(ff2, h2, h1, 1, 0))
+                            * (MT(5, h1) * -0.5)
+                            + mu_x * hun1 * dfdx, 0.0)
+                        fy1 = jnp.where(
+                            wlcv1,
+                            (v_new1 * hvn1)
+                            * (sl(ff2, h2, h1) + sl(ff2, h2, h1, 0, 1))
+                            * (MT(4, h1) * -0.5)
+                            + mu_y * hvn1 * dfdy, 0.0)
+
+                    # leapfrog update (tran_diff_tracer_kernel):
+                    # bp = hhq_n*area/2tau with hhq_n = h_r,
+                    # bp0 with hhq_p = h_r + sshp_new*ffs
+                    hr0 = sl(hr8, M, ho)
+                    area0 = MT(0, ho) * MT(1, ho) * inv2tau
+                    bp = hr0 * area0
+                    bp0 = (hr0 + sshp_new0 * float(ffs)) * area0
+                    rhs = (sl(fx1, h1, ho) - sl(fx1, h1, ho, -1, 0)
+                           + sl(fy1, h1, ho) - sl(fy1, h1, ho, 0, -1))
+                    ffp0 = sl(ffp8, hb, ho)
+                    ff0 = sl(ff8, hb, ho)
+                    bp_g = bp if fast else jnp.where(wlu0, bp, 1.0)
+                    ffn0 = jnp.where(
+                        wlu0, (bp0 * ffp0 + rhs) / bp_g, 0.0)
+                    # filter + rotation (tracer_next_step_kernel)
+                    new_tracers.append(jnp.where(wlu0, ffn0, ff0))
+                    new_tracers.append(jnp.where(
+                        wlu0, ff0 + ts2 * (ffn0 - 2.0 * ff0 + ffp0),
+                        ffp0))
+            return new_state, new_tracers
+
+        state = (ssh8, sshp8, u8, up8, v8, vp8)
+        tracers = tr8
+        hb = M
+        for s in range(steps_per_call):
+            # chained steps: step outputs at halo 4*(remaining steps)
+            # stay exact (per-step reach <= 4; masked selects keep land
+            # cells at exactly 0, so lane-roll wrap garbage never
+            # reaches a wet cell)
+            ho = 4 * (steps_per_call - 1 - s)
+            state, tracers = one_step(hb, ho, state, tracers)
+            hb = ho
+
+        if uniform:
+            final = [x[M:-M, :] for x in (*state, *tracers)]
+        else:
+            final = [*state, *tracers]
+        for o, x in zip(outs, final):
+            o[...] = x
 
     return kernel
 
@@ -663,26 +734,40 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         n_tracers: int = 0, interpret: bool = False,
                         vmem_limit_bytes: int | None = None,
                         metrics_2d: bool = False,
-                        rslu_planes=None):
-    """Returns the fused step on fused-layout arrays.
+                        rslu_planes=None, steps_per_call: int = 1):
+    """Returns the fused step on fused-layout arrays; each call advances
+    ``steps_per_call`` model steps (see module docstring).
 
     With ``lu_s`` given: ``step(ssh, sshp, u, up, v, vp, *tracers)`` where
     tracers = ff_0, ffp_0, ff_1, ... With ``lu_s=None``: the raw form
     ``step(lu, hr, met, ssh, ...)`` for the sharded driver.
 
-    ``metrics_profile``: (16, Ys) float32 rows =
-    [dx, dy, dxt, dyt, dxh, dyh, dxb, dyb, rlh_s, 0...] latitude profiles
-    (x-uniform metrics), or with ``metrics_2d=True`` the (16, Xs, Ys)
-    full planes from :func:`metrics_full_from_grid` — the bipolar /
-    curvilinear-grid path (grid_parameters.f90:183), which streams 16
-    extra f32 planes per point per step through HBM.
+    ``metrics_profile``: (N_PROF, Ys) float32 rows =
+    [dx, dy, dxt, dyt, dxh, dyh, dxb, dyb, rlh_s, <derived>] latitude
+    profiles (x-uniform metrics), or with ``metrics_2d=True`` the
+    (16, Xs, Ys) full planes from :func:`metrics_full_from_grid` — the
+    bipolar / curvilinear-grid path (grid_parameters.f90:183), which
+    streams 16 extra f32 planes per point per step through HBM.
+
+    ``rslu_planes``: the (n, Xs, Ys) static planes from
+    :func:`static_planes` (fast mode); in fast mode without viscosity or
+    tracers the ``lu``/``hr`` arrays are not consumed by the kernel and
+    are not streamed.
     """
     M = MARGIN
     tx = lay.tx
     static_rslu = rslu_planes is not None
+    fast = static_rslu and not metrics_2d
+    visc = bool(ksw and mu_const != 0.0)
+    has_lu = not fast
+    has_hr = (not fast) or visc or (n_tracers > 0)
+    if lu_s is None:
+        has_lu = has_hr = True      # raw (sharded) form keeps both
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
                         n_tracers, metrics_2d=metrics_2d,
-                        static_rslu=static_rslu)
+                        static_rslu=static_rslu,
+                        steps_per_call=steps_per_call,
+                        has_lu=has_lu, has_hr=has_hr)
 
     n_tiles = lay.X // tx
 
@@ -717,14 +802,19 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             vmem_limit_bytes=vmem_limit_bytes)
     rslu_specs = []
     if static_rslu:
+        n_pl = len(plane_names(ffs, ksw, mu_const, metrics_2d))
+        assert np.asarray(rslu_planes).shape[0] == n_pl, \
+            "static planes do not match this config's plane set"
         rslu_specs = [pl.BlockSpec(
-            (pl.Element(10), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
+            (pl.Element(n_pl), pl.Element(tx + 2 * M),
+             pl.Element(lay.Ys)),
             lambda i: (0, pl.multiple_of(i * tx, 8), 0),
             memory_space=pltpu.VMEM)]
+    n_base = int(has_lu) + int(has_hr)
     call = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=([in_spec() for _ in range(8)] + [met_spec]
+        in_specs=([in_spec() for _ in range(n_base + 6)] + [met_spec]
                   + rslu_specs
                   + [in_spec() for _ in range(2 * n_tracers)]),
         out_specs=[out_spec() for _ in range(n_out)],
@@ -741,14 +831,17 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                               *tracers))
         return step_raw
 
-    lu_c = jnp.asarray(lu_s, jnp.float32)
-    hr_c = jnp.asarray(hhq_rest_s, jnp.float32)
+    base = []
+    if has_lu:
+        base.append(jnp.asarray(lu_s, jnp.float32))
+    if has_hr:
+        base.append(jnp.asarray(hhq_rest_s, jnp.float32))
     met = jnp.asarray(metrics_profile, jnp.float32)
     statics = ((jnp.asarray(rslu_planes, jnp.float32),)
                if static_rslu else ())
 
     def step(ssh, sshp, u, up, v, vp, *tracers):
-        return tuple(call(lu_c, hr_c, ssh, sshp, u, up, v, vp, met,
+        return tuple(call(*base, ssh, sshp, u, up, v, vp, met,
                           *statics, *tracers))
 
     return step
@@ -788,16 +881,16 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
     return rows
 
 
-def static_planes(lu_s: np.ndarray, hr_s: np.ndarray,
-                  dxdy: np.ndarray) -> np.ndarray:
-    """(10, Xs, Ys) static planes, pure functions of the land mask /
-    bathymetry / metrics:
-    0-2 reciprocal wet-neighbor counts for the depth interpolations
-    (u/v/h staggerings, rslu = 1/max(#wet, 1)), 3-6 the wet masks
-    wlu/wlcu/wlcv/wluu as f32 0/1, 7 lu*dx*dy, 8 hhq_rest*lu*dx*dy,
-    9 spare. Precomputing them removes the per-step mask/select
-    recomputes and the aq metric/gating muls from the hot loop.
-    ``dxdy``: (Xs, Ys) full plane or (1, Ys) y-profile row."""
+def static_planes(lu_s: np.ndarray, hr_s: np.ndarray, dxdy: np.ndarray,
+                  names: tuple, interp_recips=None) -> np.ndarray:
+    """(len(names), Xs, Ys) static planes, pure functions of the land
+    mask / bathymetry / metrics — see :func:`plane_names`. Precomputing
+    them removes the per-step mask/select recomputes and the aq
+    metric/gating muls from the hot loop.
+    ``dxdy``: (Xs, Ys) full plane or (1, Ys) y-profile row.
+    ``interp_recips``: fast mode only — ((1,Ys) rows 1/dxt, 1/dyt,
+    1/(dxb*dyb)) folded into the rslu planes so each depth interpolation
+    costs one multiply instead of two."""
     lu = np.asarray(lu_s, np.float32)
     x1 = np.zeros_like(lu)
     x1[:-1, :] = lu[1:, :]          # lu[i+1, j]
@@ -810,12 +903,23 @@ def static_planes(lu_s: np.ndarray, hr_s: np.ndarray,
         return np.float32(1.0) / np.maximum(s, 1.0)
 
     ludxdy = (lu * np.asarray(dxdy, np.float32)).astype(np.float32)
-    out = np.stack([recip(lu + x1), recip(lu + y1),
-                    recip(lu + x1 + y1 + xy1),
-                    lu, lu * x1, lu * y1, lu * x1 * y1 * xy1,
-                    ludxdy, np.asarray(hr_s, np.float32) * ludxdy,
-                    np.zeros_like(lu)])
-    return out.astype(np.float32)
+    if "ludxdy" in names:
+        wet = ludxdy[lu > 0.5]
+        assert wet.size == 0 or wet.min() > 0.5, \
+            "dx*dy too small for ludxdy to double as the wlu mask"
+    build = {
+        "rslu_u": lambda: recip(lu + x1),
+        "rslu_v": lambda: recip(lu + y1),
+        "rslu_h": lambda: recip(lu + x1 + y1 + xy1),
+        "wlu": lambda: lu,
+        "wlcu": lambda: lu * x1,
+        "wlcv": lambda: lu * y1,
+        "wluu": lambda: lu * x1 * y1 * xy1,
+        "ludxdy": lambda: ludxdy,
+        "hrludxdy": lambda: (np.asarray(hr_s, np.float32)
+                             * ludxdy).astype(np.float32),
+    }
+    return np.stack([build[n]() for n in names]).astype(np.float32)
 
 
 def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:

@@ -22,7 +22,7 @@ from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 
 
 def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
-                  static_rslu=False):
+                  static_rslu=False, steps_per_call=1):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -42,7 +42,8 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                       precision=prec)
     state = init_ocean_state(grid, cfg)
     fm = FusedSWModel(grid, cfg, 1.0, tx=tx, vmem_limit_bytes=vmem,
-                      static_rslu=static_rslu)
+                      static_rslu=static_rslu,
+                      steps_per_call=steps_per_call)
     carry = fm.pack(state)
 
     @jax.jit
@@ -74,6 +75,13 @@ VARIANTS = {
     "rslu64": dict(tx=64, trans=1, static_rslu=True),
     "rslu128": dict(tx=128, trans=1, vmem=48 * 1024 * 1024,
                     static_rslu=True),
+    # v2 kernel: config-dependent static planes + steps_per_call chaining
+    "rslu64x2": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                     vmem=64 * 1024 * 1024),
+    "rslu128x2": dict(tx=128, trans=1, static_rslu=True, steps_per_call=2,
+                      vmem=100 * 1024 * 1024),
+    "plain64x2": dict(tx=64, trans=1, static_rslu=False, steps_per_call=2,
+                      vmem=64 * 1024 * 1024),
 }
 
 

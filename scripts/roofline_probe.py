@@ -8,7 +8,11 @@ achievable pipeline/HBM bound for this layout; the gap between it and
 the real fused kernel (model/fused.py) is the VPU-compute share — i.e.
 the remaining optimization headroom that kernel algebra can touch.
 
-Usage: python scripts/roofline_probe.py [nx ny [tx]]
+Usage: python scripts/roofline_probe.py [nx ny [tx [n_static]]]
+
+``n_static``: also stream an (n_static, tx+2M, Ys) static-plane window per
+tile (the static_rslu configuration adds 10 such planes); the floor's
+delta vs n_static=0 attributes the HBM/pipeline cost of the static planes.
 """
 
 import sys
@@ -25,16 +29,20 @@ from ocean_model_arch_tpu.ops.pallas import fused_step as fsk
 from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 
 
-def build_copy_step(lay, tx):
+def build_copy_step(lay, tx, n_static=0):
     M = fsk.MARGIN
 
     def kernel(*refs):
         ins = refs[:8]
         met = refs[8]
-        outs = refs[9:]
+        sref = refs[9] if n_static else None
+        outs = refs[9 + bool(n_static):]
         acc = met[0:1, :] * 0.0
         for r in ins:
             acc = acc + r[...][M:-M, :]
+        if n_static:
+            for i in range(n_static):
+                acc = acc + sref[i][M:-M, :]
         for i, o in enumerate(outs):
             o[...] = acc + float(i)
 
@@ -52,10 +60,17 @@ def build_copy_step(lay, tx):
 
     met_spec = pl.BlockSpec((pl.Element(16), pl.Element(lay.Ys)),
                             lambda i: (0, 0), memory_space=pltpu.VMEM)
+    static_specs = []
+    if n_static:
+        static_specs = [pl.BlockSpec(
+            (pl.Element(n_static), pl.Element(tx + 2 * M),
+             pl.Element(lay.Ys)),
+            lambda i: (0, pl.multiple_of(i * tx, 8), 0),
+            memory_space=pltpu.VMEM)]
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
     return pl.pallas_call(
         kernel, grid=(lay.X // tx,),
-        in_specs=[in_spec() for _ in range(8)] + [met_spec],
+        in_specs=[in_spec() for _ in range(8)] + [met_spec] + static_specs,
         out_specs=[out_spec() for _ in range(6)],
         out_shape=[shape] * 6)
 
@@ -65,8 +80,9 @@ def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 1525
     ny = int(sys.argv[2]) if len(sys.argv) > 2 else 1115
     tx = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    n_static = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     lay = fsk.make_layout(nx, ny, tx)
-    call = build_copy_step(lay, tx)
+    call = build_copy_step(lay, tx, n_static)
 
     key = jax.random.PRNGKey(0)
     arrs = [jax.random.normal(jax.random.fold_in(key, i),
@@ -74,13 +90,15 @@ def main():
             for i in range(8)]
     met = jnp.ones((16, lay.Ys), jnp.float32)
     lu, hr = arrs[:2]
+    statics = ((jnp.ones((n_static, lay.Xs, lay.Ys), jnp.float32),)
+               if n_static else ())
 
     n_inner = 2000
 
     @jax.jit
     def run(s6):
         def body(c, _):
-            outs = call(lu, hr, *c, met)
+            outs = call(lu, hr, *c, met, *statics)
             return tuple(outs), None
         s6, _ = jax.lax.scan(body, tuple(s6), None, length=n_inner)
         return s6

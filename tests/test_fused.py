@@ -179,3 +179,35 @@ def test_fused_guard_trips():
     s6 = fm.pack(bad)
     _, ok = fm.run_steps(s6, 1)
     assert not bool(ok)
+
+
+@pytest.mark.parametrize("static_rslu,tracers",
+                         [(True, 0), (False, 0), (True, 2)])
+def test_fused_two_steps_per_call_bitexact(static_rslu, tracers):
+    """steps_per_call=2 chains two whole model steps inside one kernel
+    invocation (step A at halo 4, step B at halo 0). The per-step reach
+    is <= 4 and the output-stage selects restore exact zeros on land, so
+    the chained results match two 1-step calls to within XLA's FMA
+    contraction (+-1 ulp on isolated elements)."""
+    basin = basinpar_flat(70, 52, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1 if tracers else 0,
+                                  tracer_num=tracers),
+                      precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    rng = np.random.RandomState(5)
+    mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+
+    f1 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=static_rslu, steps_per_call=1)
+    f2 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=static_rslu, steps_per_call=2)
+    a, ok1 = f1.run_steps(f1.pack(state), 20)
+    b, ok2 = f2.run_steps(f2.pack(state), 20)
+    assert bool(ok1) and bool(ok2)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=3e-7, atol=1e-11)

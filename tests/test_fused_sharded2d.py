@@ -53,3 +53,27 @@ def test_narrow_shard_rejected(case):
     grid, cfg, state, ref = case
     with pytest.raises(ValueError, match="margin"):
         FusedSharded2DModel(grid, cfg, 1.0, 1, 8, tx=8, interpret=True)
+
+
+def test_fused_2d_mesh_viscosity(case):
+    """Nonzero constant mu drives the fused stress/uv_diff2 branch on the
+    sharded path (vel_ssh.f90:375-452; wired from the state's mu by
+    OceanModel.state_mu_const)."""
+    import dataclasses
+    grid, cfg, state, _ = case
+    MU = 1000.0
+    state = dataclasses.replace(state, mu=jax.numpy.full_like(state.mu, MU))
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             mu_const=MU)
+    c, ok2 = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok2)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("v", fields[4], ref.vbrtr)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 2e-5, (name, rel)

@@ -138,3 +138,33 @@ def test_irregular_grid_levels():
     expect_dy = np.float32(y_levels[4] - y_levels[3]) * PIP180_F32 * RAD_EARTH
     np.testing.assert_allclose(geo.dyt[:, 3], expect_dy, rtol=1e-6)
     assert np.all(geo.dx > 0) and np.all(np.isfinite(geo.dx))
+
+
+def test_vertical_levels():
+    """grid.f90:57-58,146-149: z (nz t-levels), zw (nz+1 w-levels),
+    hzt/dz steps — constructed as the uniform sigma column."""
+    import numpy as np
+    from ocean_model_arch_tpu.core.grid import vertical_levels
+
+    z, zw, hzt, dz = vertical_levels(5)
+    assert z.shape == (5,) and zw.shape == (6,)
+    assert hzt.shape == (6,) and dz.shape == (5,)
+    np.testing.assert_allclose(zw, np.linspace(0, 1, 6), atol=1e-7)
+    np.testing.assert_allclose(z, (zw[:-1] + zw[1:]) / 2, atol=1e-7)
+    np.testing.assert_allclose(dz.sum(), 1.0, atol=1e-6)
+    np.testing.assert_allclose(hzt.sum(), 1.0, atol=1e-6)
+
+
+def test_grid_carries_vertical_arrays():
+    import numpy as np
+    from ocean_model_arch_tpu.config import Precision, basinpar_flat
+    from ocean_model_arch_tpu.core.grid import build_grid
+    from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+    import dataclasses
+
+    basin = dataclasses.replace(basinpar_flat(16, 12), nz=4)
+    grid = build_grid(basin, frame_of_land_mask(16, 12),
+                      precision=Precision.f32())
+    assert grid.nz == 4
+    assert np.asarray(grid.z).shape == (4,)
+    assert np.asarray(grid.zw).shape == (5,)

@@ -140,3 +140,45 @@ def test_f32_drift_vs_f64():
     # observed drift is ~1e-6 relative after 300 steps; the bound leaves
     # an order of magnitude of headroom
     assert drift / scale < 1e-4, drift / scale
+
+
+def test_state_mu_const_detection():
+    """OceanModel.state_mu_const: constant mu (the reference's zeroed
+    init, or any uniform viscosity) -> its value; spatially-varying mu ->
+    None (fast paths disabled, never silently dropping physics)."""
+    import dataclasses
+    import numpy as np
+    from ocean_model_arch_tpu.config import (ModelConfig, Precision,
+                                             SWConfig, basinpar_flat)
+    from ocean_model_arch_tpu.core.grid import build_grid
+    from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+    from ocean_model_arch_tpu.model.init import init_ocean_state
+    from ocean_model_arch_tpu.model.model import OceanModel
+    from ocean_model_arch_tpu.model.fused import FusedSWModel
+
+    basin = basinpar_flat(24, 20)
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=Precision.f32())
+    grid = build_grid(basin, frame_of_land_mask(24, 20),
+                      precision=Precision.f32())
+    state = init_ocean_state(grid, cfg)
+
+    m = OceanModel.__new__(OceanModel)
+    m.state = state
+    assert m.state_mu_const() == 0.0
+    m.state = dataclasses.replace(
+        state, mu=np.full((24, 20), 7.5, np.float32))
+    assert m.state_mu_const() == 7.5
+    varying = np.zeros((24, 20), np.float32)
+    varying[5, 5] = 1.0
+    m.state = dataclasses.replace(state, mu=varying)
+    assert m.state_mu_const() is None
+
+    # validate_state: kernel mu_const mismatch raises
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True, mu_const=0.0)
+    fm.validate_state(state)
+    bad = dataclasses.replace(state,
+                              mu=np.full((24, 20), 3.0, np.float32))
+    import pytest
+    with pytest.raises(ValueError, match="mu"):
+        fm.validate_state(bad)
