@@ -52,6 +52,11 @@ def make_sharded_step(grid_p: Grid, cfg: ModelConfig, mesh: Mesh,
     gspecs = tree_specs(grid_p)
 
     def local_fn(state: SWState, grid: Grid, tau):
+        # hoist static-field halo exchanges out of the time loop: the
+        # grid leaves are scan-body constants, so pre-exchanging them
+        # here leaves only the prognostic exchanges inside the scan
+        hp.cache_statics(grid, grid.lu.shape)
+
         def one(st, _):
             st = sw_step(st, grid, cfg, tau, hp)
             st = tracer_step(st, grid, cfg, tau, hp)

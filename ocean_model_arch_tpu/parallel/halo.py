@@ -71,8 +71,39 @@ class ShardHalo:
         self.h = h
         self.axis_x = axis_x
         self.axis_y = axis_y
+        # identity-keyed exchange memo: ex() is a pure function of the
+        # array value, so two calls on the SAME object within one trace
+        # are identical — memoizing dedupes repeated per-step exchanges
+        # (the composer calls ex(s.ubrtr) etc. several times per step)
+        # the way the reference's sync lists exchange each field once
+        # (sw_interface.f90:330-381). Entries hold the key object, so a
+        # recycled id can never false-hit (identity check below).
+        self._memo = {}
+
+    def cache_statics(self, tree, spatial_shape) -> None:
+        """Pre-exchange every spatial array leaf of ``tree`` (trailing
+        dims == ``spatial_shape``, the local (lx, ly) extents) and memoize
+        it. Call OUTSIDE the time loop (before lax.scan): later ``ex(f)``
+        calls on the same objects return the precomputed margined arrays,
+        hoisting all static-field collectives out of the per-step scan
+        body. Also resets the memo, dropping entries from any previous
+        trace."""
+        self._memo = {}
+        spatial = tuple(spatial_shape)
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                    and tuple(leaf.shape[-2:]) == spatial):
+                self._memo[id(leaf)] = (leaf, self._ex(leaf))
 
     def ex(self, f):
+        hit = self._memo.get(id(f))
+        if hit is not None and hit[0] is f:
+            return hit[1]
+        out = self._ex(f)
+        self._memo[id(f)] = (f, out)
+        return out
+
+    def _ex(self, f):
         f = _exchange_axis(f, -2, self.axis_x, self.px, self.periodic_x,
                            self.h)
         f = _exchange_axis(f, -1, self.axis_y, self.py, self.periodic_y,

@@ -99,6 +99,63 @@ def test_step_decomposition_invariance(flat_case, px, py):
                                rtol=0, atol=1e-12)
 
 
+@pytest.fixture(scope="module")
+def island_case():
+    """Random-island masked basin — shard seams cross coastlines (the
+    risky case the all-wet fixture misses)."""
+    basin = basinpar_flat(64, 48)
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=Precision.f64())
+    mask = frame_of_land_mask(64, 48)
+    rng = np.random.RandomState(7)
+    mask[2:-2, 2:-2] |= (rng.rand(60, 44) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state, 1.0, 40)
+    assert bool(ok)
+    return grid, cfg, state, ref
+
+
+@pytest.mark.parametrize("px,py", MESHES)
+def test_masked_decomposition_invariance(island_case, px, py):
+    """Decomposition invariance on a coastline-crossing mask (the
+    syncborder_block2D_gen_test.fi spirit: exactness under any split)."""
+    grid, cfg, state, ref = island_case
+    mesh = make_mesh(px, py)
+    gs, ss = prepare(grid, state, mesh)
+    stepN = make_sharded_step(gs, cfg, mesh, n_inner=40)
+    out, ok = stepN(ss, 1.0)
+    assert bool(ok)
+    out = crop_state(out, 64, 48)
+    for name in ("ssh", "sshp", "ubrtr", "vbrtr", "hhq", "hhu"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=0, atol=1e-12, err_msg=name)
+    np.testing.assert_allclose(np.asarray(out.ff), np.asarray(ref.ff),
+                               rtol=0, atol=1e-12)
+
+
+def test_static_halo_exchanges_hoisted(flat_case):
+    """The per-step scan body must carry no collectives for static grid
+    fields (they are pre-exchanged via ShardHalo.cache_statics), and the
+    remaining per-step exchanges must be deduped by field — the analog of
+    the reference's once-per-step sync lists (sw_interface.f90:330-381)."""
+    grid, cfg, state, _ = flat_case
+    mesh = make_mesh(2, 2)
+    gs, ss = prepare(grid, state, mesh)
+    step = make_sharded_step(gs, cfg, mesh, n_inner=4)
+    txt = jax.jit(lambda s, t: step(s, t)).lower(ss, 1.0).as_text()
+    i = txt.find("stablehlo.while")
+    assert i > 0
+    pre = txt[:i].count("collective_permute")
+    body = txt[i:].count("collective_permute")
+    # 12 static grid fields x 4 permutes hoisted out of the loop
+    assert pre >= 48, pre
+    # deduped per-step exchanges: 20 fields x 4 permutes (was 32 x 4
+    # before memoization; a regression past 24 means dedup/hoist broke)
+    assert body <= 24 * 4, body
+
+
 def test_periodic_channel_wraps():
     """A periodic-x channel: a bump advected by the gravity wave must wrap
     around the seam without reflection artifacts at the x edges."""
