@@ -64,7 +64,12 @@ class FusedSWModel:
             names = fsk.plane_names(cfg.sw.full_free_surface,
                                     cfg.sw.ksw_lat, self.mu_const,
                                     self.metrics_2d)
-            rslu = fsk.static_planes(lu_s, hr_s, dxdy, names)
+            # fast mode: fold the interpolation metric factors into the
+            # rslu planes (one multiply per depth interpolation)
+            recips = (None if self.metrics_2d else
+                      (met[10:11], met[11:12], (met[14] * met[15])[None]))
+            rslu = fsk.static_planes(lu_s, hr_s, dxdy, names,
+                                     interp_recips=recips)
         else:
             rslu = None
         self.steps_per_call = int(steps_per_call)
@@ -146,19 +151,22 @@ class FusedSWModel:
         return s6, ok
 
 
-def fused_available(grid: Grid, cfg: ModelConfig,
-                    sharded: bool = False) -> bool:
+def fused_available(grid: Grid, cfg: ModelConfig, sharded: bool = False,
+                    px: int = 1, py: int = 1, tx: int = 64) -> bool:
     """Whether the fused fast path supports this configuration.
     x-varying (bipolar) metrics are handled by the 2D-metrics kernel
-    variant on a single device; the sharded fused drivers carry metric
-    profiles only (``sharded=True``), so there they fall back to the
-    jnp path. Periodic boundaries are jnp-path-only everywhere."""
-    if grid.periodic_x or grid.periodic_y:
+    variant on both the single-device and sharded drivers. Periodic
+    boundaries are supported on the sharded driver (the margin exchange
+    adds the wrap pair) when the periodic axis is exactly mesh-divisible;
+    the single-device layout has static land margins, so periodic runs
+    route through FusedSharded2DModel (a 1x1 'mesh' wraps locally) or
+    fall back to the jnp path."""
+    if not sharded:
+        return not (grid.periodic_x or grid.periodic_y)
+    xl = -(-grid.nx // (px * tx)) * tx
+    yl = -(-grid.ny // py)
+    if grid.periodic_x and xl * px != grid.nx:
         return False
-    if sharded:
-        try:
-            lay = fsk.make_layout(grid.nx, grid.ny)
-            fsk.metrics_profile_from_grid(grid, lay)
-        except ValueError:
-            return False
+    if grid.periodic_y and yl * py != grid.ny:
+        return False
     return True

@@ -49,12 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.constants import FREE_FALL_ACC
 
 MARGIN = 8          # x margin rows (= 2 steps x reach 4; 8-aligned windows)
-# Kernel graph mode. False (default): per-stage halo shaving via x-slices —
+# Kernel graph mode. 0 (default): per-stage halo shaving via x-slices —
 # fastest runtime but the shape diversity makes Mosaic compiles take
-# minutes (one-time, persistently cached). True: every stage at the full
+# minutes (one-time, persistently cached). 1: every stage at the full
 # window with roll-shifts — compiles in seconds but sublane rolls cost
-# ~2.5x runtime. Flip for fast iteration.
-UNIFORM_SHAPES = False
+# ~2.5x runtime. Flip via OCEAN_FUSED_UNIFORM_SHAPES=1 for fast
+# iteration on new kernel variants.
+UNIFORM_SHAPES = bool(int(
+    __import__("os").environ.get("OCEAN_FUSED_UNIFORM_SHAPES", "0")))
 YPAD = 2            # extra land columns each side in y
 N_PROF = 24         # profile rows (9 metrics + 7 reciprocals + 6 derived)
 
@@ -252,27 +254,35 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # In fast mode the u/v interps return the metric-weighted
             # depths hhu*dyh / hhv*dxh (one profile factor instead of
             # two): every consumer (continuity fluxes, pressure gradient,
-            # bp chains, tracer transports) wants exactly those products.
-            u_mt = (lambda h: MT(10, h)) if fast \
-                else (lambda h: MT(10, h) * MT(13, h))     # 1/dxt[*1/dyh]
-            v_mt = (lambda h: MT(11, h)) if fast \
-                else (lambda h: MT(12, h) * MT(11, h))     # 1/dyt[*1/dxh]
+            # bp chains, tracer transports) wants exactly those products —
+            # and the remaining 1/dxt / 1/dyt / 1/(dxb*dyb) profile
+            # factors are premultiplied into the rslu static planes
+            # (static_planes interp_recips), so each interpolation costs
+            # ONE multiply off its numerator.
+            u_mt = lambda h: MT(10, h) * MT(13, h)         # 1/dxt*1/dyh
+            v_mt = lambda h: MT(12, h) * MT(11, h)         # 1/dxh*1/dyt
 
             def interp_u(h, aq0, haq):
                 """aq0 carries halo haq >= h+1. slu in {0,1,2}: the
                 reciprocal is an exact select (or a precomputed static
                 plane), no division."""
-                return (sl(aq0, haq, h) + sl(aq0, haq, h, 1, 0)) \
-                    * _rslu_u(h) * u_mt(h)
+                s = sl(aq0, haq, h) + sl(aq0, haq, h, 1, 0)
+                if fast:
+                    return s * _rslu_u(h)   # plane carries rslu/dxt
+                return s * _rslu_u(h) * u_mt(h)
 
             def interp_v(h, aq0, aq0y, haq):
                 """aq0y = aq0 lane-rolled by +1 (shared across interps)."""
-                return (sl(aq0, haq, h) + sl(aq0y, haq, h)) \
-                    * _rslu_v(h) * v_mt(h)
+                s = sl(aq0, haq, h) + sl(aq0y, haq, h)
+                if fast:
+                    return s * _rslu_v(h)   # plane carries rslu/dyt
+                return s * _rslu_v(h) * v_mt(h)
 
             def interp_h(h, aq0, aq0y, haq):
                 q = (sl(aq0, haq, h) + sl(aq0, haq, h, 1, 0)
                      + sl(aq0y, haq, h) + sl(aq0y, haq, h, 1, 0))
+                if fast:
+                    return q * _rslu_h(h)   # plane carries rslu/(dxb*dyb)
                 return q * _rslu_h(h) \
                     * (MT(14, h) * MT(15, h))          # 1/(dxb*dyb)
 
@@ -317,19 +327,23 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             else:
                 uflux3 = sl(u8, hb, h3) * hu3 * MT(5, h3)
                 vflux3 = sl(v8, hb, h3) * hv3 * MT(4, h3)
-            div2 = (sl(uflux3, h3, h2) - sl(uflux3, h3, h2, -1, 0)
-                    + sl(vflux3, h3, h2) - sl(vflux3, h3, h2, 0, -1)) \
-                * MT(9, h2)
+            fluxdiv2 = (sl(uflux3, h3, h2) - sl(uflux3, h3, h2, -1, 0)
+                        + sl(vflux3, h3, h2) - sl(vflux3, h3, h2, 0, -1))
             if fast:
                 # the lu select is redundant here: every consumer
                 # re-masks (final writes select by wlu0; tracer aq
                 # carries the LU factor), and land fluxes are exactly
-                # zero via hu/hv
-                sshn2 = sl(sshp8, hb, h2) - (2.0 * tau) * div2
+                # zero via hu/hv. The -2tau scalar folds into the
+                # (1, Ys) profile row — a row-sized op instead of a
+                # full-array multiply.
+                sshn2 = sl(sshp8, hb, h2) \
+                    + fluxdiv2 * ((-2.0 * tau) * MT(9, h2))
             else:
                 wlu2 = LU(h2) > 0.5
                 sshn2 = jnp.where(
-                    wlu2, sl(sshp8, hb, h2) + 2.0 * tau * (-div2), 0.0)
+                    wlu2,
+                    sl(sshp8, hb, h2)
+                    - 2.0 * tau * (fluxdiv2 * MT(9, h2)), 0.0)
 
             # wet masks shared by advection / viscosity / momentum /
             # tracers
@@ -554,35 +568,47 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 
             if fast:
                 # hu/hv carry dyh/dxh already; the 0-division at all-land
-                # points yields inf/nan in the *discarded* select branch
-                bpm_u = MT(2, h1) * inv2tau         # dxt/2tau
-                bpm_v = MT(3, h1) * inv2tau         # dyt/2tau
-                slx_m = -g
-                sly_m = -g
-                guard_u = lambda b: b
-                guard_v = lambda b: b
+                # points yields inf/nan in the *discarded* select branch.
+                # The bp metric factor cancels between numerator and
+                # denominator:
+                #   (up*bp0 + grx)/bp = (up*hup + grx*2tau/dxt)/hu
+                # so the update costs one full-array multiply less per
+                # component; 2tau/dxt is a (1, Ys) row.
+                slx = (sl(ssh_c2, h2, h1, 1, 0) - sl(ssh_c2, h2, h1)) \
+                    * hu1 * (-g)
+                grx = slx + rx_dif1 + rx_adv1 + cpair_x
+                un1 = jnp.where(
+                    wlcu1,
+                    (up1 * hup1 + grx * ((2.0 * tau) * MT(10, h1))) / hu1,
+                    0.0)
+                sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
+                    * hv1 * (-g)
+                gry = sly + ry_dif1 + ry_adv1 - cpair_y
+                vn1 = jnp.where(
+                    wlcv1,
+                    (vp1 * hvp1 + gry * ((2.0 * tau) * MT(11, h1))) / hv1,
+                    0.0)
             else:
                 bpm_u = MT(2, h1) * MT(5, h1) * inv2tau  # dxt*dyh/2tau
                 bpm_v = MT(3, h1) * MT(4, h1) * inv2tau  # dyt*dxh/2tau
-                slx_m = MT(5, h1) * (-g)
-                sly_m = MT(4, h1) * (-g)
-                guard_u = lambda b: jnp.where(wlcu1, b, 1.0)
-                guard_v = lambda b: jnp.where(wlcv1, b, 1.0)
-            bp_u = hu1 * bpm_u              # hhun == hhu (see docstring)
-            bp0_u = hup1 * bpm_u
-            slx = (sl(ssh_c2, h2, h1, 1, 0) - sl(ssh_c2, h2, h1)) \
-                * hu1 * slx_m
-            grx = slx + rx_dif1 + rx_adv1 + cpair_x
-            un1 = jnp.where(
-                wlcu1, (up1 * bp0_u + grx) / guard_u(bp_u), 0.0)
-
-            bp_v = hv1 * bpm_v
-            bp0_v = hvp1 * bpm_v
-            sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
-                * hv1 * sly_m
-            gry = sly + ry_dif1 + ry_adv1 - cpair_y
-            vn1 = jnp.where(
-                wlcv1, (vp1 * bp0_v + gry) / guard_v(bp_v), 0.0)
+                bp_u = hu1 * bpm_u          # hhun == hhu (see docstring)
+                bp0_u = hup1 * bpm_u
+                slx = (sl(ssh_c2, h2, h1, 1, 0) - sl(ssh_c2, h2, h1)) \
+                    * hu1 * (MT(5, h1) * (-g))
+                grx = slx + rx_dif1 + rx_adv1 + cpair_x
+                un1 = jnp.where(
+                    wlcu1,
+                    (up1 * bp0_u + grx) / jnp.where(wlcu1, bp_u, 1.0),
+                    0.0)
+                bp_v = hv1 * bpm_v
+                bp0_v = hvp1 * bpm_v
+                sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
+                    * hv1 * (MT(4, h1) * (-g))
+                gry = sly + ry_dif1 + ry_adv1 - cpair_y
+                vn1 = jnp.where(
+                    wlcv1,
+                    (vp1 * bp0_v + gry) / jnp.where(wlcv1, bp_v, 1.0),
+                    0.0)
 
             # ---- leapfrog rotation + filter (sw_next_step) ----
             if fast:
@@ -603,16 +629,19 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             up0 = sl(up8, hb, ho)
             vp0 = sl(vp8, hb, ho)
 
-            ts2 = ts * 0.5                  # trace-time constant fold
+            # filter rewritten as f + ts2*(n - 2f + p) = (1-ts)*f
+            # + ts2*(n + p): one op fewer per filtered field
+            ts2 = ts * 0.5                  # trace-time constant folds
+            ts1 = 1.0 - ts
             ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
             sshp_new0 = jnp.where(
-                wlu0, ssh0 + ts2 * (sshn0 - 2.0 * ssh0 + sshp0), sshp0)
+                wlu0, ts1 * ssh0 + ts2 * (sshn0 + sshp0), sshp0)
             u_new0 = jnp.where(wlcu0, un0, u0)
             up_new0 = jnp.where(
-                wlcu0, u0 + ts2 * (un0 - 2.0 * u0 + up0), up0)
+                wlcu0, ts1 * u0 + ts2 * (un0 + up0), up0)
             v_new0 = jnp.where(wlcv0, vn0, v0)
             vp_new0 = jnp.where(
-                wlcv0, v0 + ts2 * (vn0 - 2.0 * v0 + vp0), vp0)
+                wlcv0, ts1 * v0 + ts2 * (vn0 + vp0), vp0)
             new_state = (ssh_new0, sshp_new0, u_new0, up_new0,
                          v_new0, vp_new0)
 
@@ -702,7 +731,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     # filter + rotation (tracer_next_step_kernel)
                     new_tracers.append(jnp.where(wlu0, ffn0, ff0))
                     new_tracers.append(jnp.where(
-                        wlu0, ff0 + ts2 * (ffn0 - 2.0 * ff0 + ffp0),
+                        wlu0, (1.0 - ts) * ff0 + ts2 * (ffn0 + ffp0),
                         ffp0))
             return new_state, new_tracers
 
@@ -756,7 +785,10 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     """
     M = MARGIN
     tx = lay.tx
-    static_rslu = rslu_planes is not None
+    # raw (sharded) form: rslu_planes=True means the planes arrive as a
+    # runtime argument of step_raw (per-shard margined blocks)
+    runtime_planes = rslu_planes is True
+    static_rslu = rslu_planes is not None and rslu_planes is not False
     fast = static_rslu and not metrics_2d
     visc = bool(ksw and mu_const != 0.0)
     has_lu = not fast
@@ -803,8 +835,9 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     rslu_specs = []
     if static_rslu:
         n_pl = len(plane_names(ffs, ksw, mu_const, metrics_2d))
-        assert np.asarray(rslu_planes).shape[0] == n_pl, \
-            "static planes do not match this config's plane set"
+        if not runtime_planes:
+            assert np.asarray(rslu_planes).shape[0] == n_pl, \
+                "static planes do not match this config's plane set"
         rslu_specs = [pl.BlockSpec(
             (pl.Element(n_pl), pl.Element(tx + 2 * M),
              pl.Element(lay.Ys)),
@@ -824,7 +857,15 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     )
 
     if lu_s is None:
-        assert not static_rslu, "raw form carries no static rslu planes"
+        if static_rslu:
+            assert runtime_planes, \
+                "raw form takes planes at runtime (rslu_planes=True)"
+
+            def step_raw(lu_a, hr_a, met_a, planes_a,
+                         ssh, sshp, u, up, v, vp, *tracers):
+                return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp,
+                                  met_a, planes_a, *tracers))
+            return step_raw
 
         def step_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp, *tracers):
             return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp, met_a,
@@ -902,15 +943,20 @@ def static_planes(lu_s: np.ndarray, hr_s: np.ndarray, dxdy: np.ndarray,
     def recip(s):
         return np.float32(1.0) / np.maximum(s, 1.0)
 
+    if interp_recips is not None:
+        r_u, r_v, r_h = (np.asarray(r, np.float32) for r in interp_recips)
+    else:
+        r_u = r_v = r_h = np.float32(1.0)
+
     ludxdy = (lu * np.asarray(dxdy, np.float32)).astype(np.float32)
     if "ludxdy" in names:
         wet = ludxdy[lu > 0.5]
         assert wet.size == 0 or wet.min() > 0.5, \
             "dx*dy too small for ludxdy to double as the wlu mask"
     build = {
-        "rslu_u": lambda: recip(lu + x1),
-        "rslu_v": lambda: recip(lu + y1),
-        "rslu_h": lambda: recip(lu + x1 + y1 + xy1),
+        "rslu_u": lambda: recip(lu + x1) * r_u,
+        "rslu_v": lambda: recip(lu + y1) * r_v,
+        "rslu_h": lambda: recip(lu + x1 + y1 + xy1) * r_h,
         "wlu": lambda: lu,
         "wlcu": lambda: lu * x1,
         "wlcv": lambda: lu * y1,
