@@ -25,12 +25,13 @@ Gpts/s (14 f32 passes * 4 B at ~819 GB/s); the kernel is VPU-bound at
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def main(workload: str = "default"):
     import jax
 
     from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
@@ -50,9 +51,17 @@ def main():
     prec = Precision.f32()
     cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
                       precision=prec)
-    grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
-                      precision=prec)
+    if workload == "azov_mask":
+        # the reference's ACTUAL shipped workload: same extents with the
+        # real Azov Sea coastline (data/AS/maskAzovCor.txt, 58.9% wet) —
+        # reports wet-points/s, the honest throughput on realistic masks
+        from ocean_model_arch_tpu.io.mask_io import read_mask
+        int_mask = read_mask("data/AS/maskAzovCor.txt", basin.nx, basin.ny)
+    else:
+        int_mask = frame_of_land_mask(basin.nx, basin.ny)
+    grid = build_grid(basin, int_mask, precision=prec)
     state = init_ocean_state(grid, cfg)
+    wet_points = int((np.asarray(int_mask) == 0).sum())
 
     # long scan windows amortize the per-dispatch host/tunnel round-trip
     # (~40 ms here) against device compute; the whole window is one XLA
@@ -98,14 +107,24 @@ def main():
     # kernels, measured at 1.31e9 points/s/chip on this config/chip
     # (BASELINE.md; the reference itself publishes no numbers)
     baseline_pts_per_s = 1.31e9
-    out = {
-        "metric": "sw_step_points_per_sec_per_chip",
-        "value": round(pts_per_s, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pts_per_s / baseline_pts_per_s, 4),
-    }
+    if workload == "azov_mask":
+        out = {
+            "metric": "sw_step_wet_points_per_sec_per_chip",
+            "value": round(wet_points * n_inner / best, 1),
+            "unit": "wet points/s",
+            "vs_baseline": round(pts_per_s / baseline_pts_per_s, 4),
+            "total_points_per_sec": round(pts_per_s, 1),
+            "wet_fraction": round(wet_points / points, 4),
+        }
+    else:
+        out = {
+            "metric": "sw_step_points_per_sec_per_chip",
+            "value": round(pts_per_s, 1),
+            "unit": "points/s",
+            "vs_baseline": round(pts_per_s / baseline_pts_per_s, 4),
+        }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "default")

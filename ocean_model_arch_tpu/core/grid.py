@@ -119,7 +119,9 @@ def build_grid(basin: BasinConfig, int_mask: np.ndarray,
 
     lu = masks_mod.lu_from_int_mask(int_mask, precision.mask_dtype)
     lu1 = np.ones_like(lu)
-    luh, luu, llu, llv, lcu, lcv = masks_mod.derive_staggered_masks(lu)
+    luh, luu, llu, llv, lcu, lcv = masks_mod.derive_staggered_masks(
+        lu, periodic_x=bool(basin.periodicity_x),
+        periodic_y=bool(basin.periodicity_y))
 
     xt, yt, xu, yv, geo = metrics_mod.build_geo_metrics(basin)
 

@@ -24,21 +24,31 @@ def lu_from_int_mask(mask: np.ndarray, dtype=np.float32) -> np.ndarray:
     return (mask == 0).astype(dtype)
 
 
-def derive_staggered_masks(lu: np.ndarray):
+def derive_staggered_masks(lu: np.ndarray, periodic_x: bool = False,
+                           periodic_y: bool = False):
     """All six staggered masks (lu_lv_init_kernel, :56-90).
 
-    The reference leaves the last row/column of each derived mask at its
-    zero initialization (loops stop at bnd-1); shifting in zeros reproduces
-    that, and the mandatory 2-cell land frame makes those points land
-    anyway.
+    The reference runs the mask kernel on the halo-SYNCED lu (the sync
+    carries the wrap on periodic axes), so on a periodic axis the m+1/n+1
+    neighbours wrap around the seam — otherwise the derived masks would
+    put a phantom wall at the last U/V column. On non-periodic axes the
+    reference leaves the last row/column at its zero initialization
+    (loops stop at bnd-1); shifting in zeros reproduces that, and the
+    mandatory 2-cell land frame makes those points land anyway.
     """
     dtype = lu.dtype
-    lu_px = np.zeros_like(lu)
-    lu_px[:-1, :] = lu[1:, :]       # lu(m+1, n)
-    lu_py = np.zeros_like(lu)
-    lu_py[:, :-1] = lu[:, 1:]       # lu(m, n+1)
-    lu_pxy = np.zeros_like(lu)
-    lu_pxy[:-1, :-1] = lu[1:, 1:]   # lu(m+1, n+1)
+    if periodic_x:
+        lu_px = np.roll(lu, -1, axis=0)         # lu(m+1, n), wrapped
+    else:
+        lu_px = np.zeros_like(lu)
+        lu_px[:-1, :] = lu[1:, :]               # lu(m+1, n)
+    if periodic_y:
+        lu_py = np.roll(lu, -1, axis=1)         # lu(m, n+1), wrapped
+    else:
+        lu_py = np.zeros_like(lu)
+        lu_py[:, :-1] = lu[:, 1:]               # lu(m, n+1)
+    lu_pxy = np.roll(lu_py, -1, axis=0) if periodic_x \
+        else np.concatenate([lu_py[1:], np.zeros_like(lu_py[:1])], axis=0)
 
     luh = ((lu + lu_px + lu_py + lu_pxy) > 0.5).astype(dtype)
     luu = ((lu * lu_px * lu_py * lu_pxy) > 0.5).astype(dtype)

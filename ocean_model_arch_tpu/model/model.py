@@ -136,7 +136,8 @@ class OceanModel:
                 and wide_enough
                 and self.cfg.precision.state_dtype == np.float32
                 and self.state_mu_const() is not None
-                and fused_available(self.grid, self.cfg, sharded=True))
+                and fused_available(self.grid, self.cfg, sharded=True,
+                                    px=px, py=py))
 
     def _make_runner(self, n_inner: int):
         tau = self.cfg.run.tau

@@ -166,9 +166,14 @@ def test_fused_availability_checks():
     assert fused_available(grid2, cfg)
     fm = FusedSWModel(grid2, cfg, 1.0, tx=8, interpret=True)
     assert fm.metrics_2d
-    # the sharded fused drivers carry profiles only -> bipolar falls back
+    # the sharded fused driver covers the full envelope: bipolar (2D
+    # metric planes) and divisible periodic axes are supported; periodic
+    # with padding between seam neighbours is not
     assert fused_available(grid, cfg, sharded=True)
-    assert not fused_available(grid2, cfg, sharded=True)
+    assert fused_available(grid2, cfg, sharded=True)
+    assert fused_available(grid_p, cfg, sharded=True, px=1, py=1, tx=10)
+    assert not fused_available(grid_p, cfg, sharded=True, px=1, py=1,
+                               tx=64)
 
 
 def test_fused_guard_trips():

@@ -55,6 +55,79 @@ def test_narrow_shard_rejected(case):
         FusedSharded2DModel(grid, cfg, 1.0, 1, 8, tx=8, interpret=True)
 
 
+@pytest.mark.parametrize("static_rslu,spc", [(False, 1), (True, 2)])
+def test_fused_2d_mesh_variants(case, static_rslu, spc):
+    """The non-static raw kernel and the chained 2-steps-per-exchange
+    mode must match the jnp reference trajectory too."""
+    grid, cfg, state, ref = case
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             static_rslu=static_rslu, steps_per_call=spc)
+    c, ok = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("ff", fields[6], ref.ff[0])]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 1e-5, (name, rel)
+
+
+def test_fused_2d_mesh_bipolar():
+    """2D metric planes (bipolar curvilinear grid,
+    grid_parameters.f90:183) on the sharded fused path."""
+    basin = basinpar_flat(70, 52, curve_grid=2, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    rng = np.random.RandomState(5)
+    mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True)
+    assert fm.metrics_2d
+    c, ok2 = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok2)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("v", fields[4], ref.vbrtr)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 2e-5, (name, rel)
+
+
+@pytest.mark.parametrize("px,py", [(2, 2), (1, 2)])
+def test_fused_2d_mesh_periodic_x(px, py):
+    """Periodic-x channel on the sharded fused path: the margin exchange
+    wraps around the seam (ppermute wrap pair / local concatenate)."""
+    import dataclasses
+    basin = dataclasses.replace(basinpar_flat(64, 48), periodicity_x=1)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, precision=prec)
+    mask = np.zeros((64, 48), np.int32)
+    mask[:, :2] = 1
+    mask[:, -2:] = 1   # walls in y only; open (periodic) in x
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 40)
+    assert bool(ok)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, px, py, tx=8, interpret=True)
+    c, ok2 = fm.make_runner(40)(fm.pack(state))
+    assert bool(ok2)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("v", fields[4], ref.vbrtr)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 1e-5, (name, rel)
+
+
 def test_fused_2d_mesh_viscosity(case):
     """Nonzero constant mu drives the fused stress/uv_diff2 branch on the
     sharded path (vel_ssh.f90:375-452; wired from the state's mu by
