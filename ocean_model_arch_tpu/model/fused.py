@@ -29,7 +29,8 @@ class FusedSWModel:
                  tx: int = 64, interpret: bool = False,
                  vmem_limit_bytes: int | None = None,
                  mu_const: float = 0.0, static_rslu: bool = False,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1,
+                 tile_guard: bool | None = None):
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
         self.grid = grid
@@ -73,12 +74,22 @@ class FusedSWModel:
         else:
             rslu = None
         self.steps_per_call = int(steps_per_call)
+        if tile_guard is None:
+            # auto: guard only when some x-strip is all-land (realistic
+            # coastline masks — decomposition.f90:578's weight-0 drop);
+            # on all-wet basins the guard is pure overhead
+            n_tiles = self.lay.X // tx
+            tile_guard = any(
+                not (lu_s[fsk.MARGIN + i * tx: fsk.MARGIN + (i + 1) * tx]
+                     > 0.5).any() for i in range(n_tiles))
+        self.tile_guard = bool(tile_guard)
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
             self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
-            rslu_planes=rslu, steps_per_call=self.steps_per_call)
+            rslu_planes=rslu, steps_per_call=self.steps_per_call,
+            tile_guard=self.tile_guard)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------

@@ -26,6 +26,18 @@ configuration, gpu/interface/sw_interface_gpu.f90):
   local wrap concatenate on 1-shard axes) and the static margins are
   wrap-padded; requires the periodic axis to be exactly mesh-divisible
   (no padding between the seam neighbours).
+
+Weighted decomposition (``weighted=True``, parallel.par
+mod_decomposition=1): the x cut lines follow the wet-point cumulative
+distribution (parallel/decomposition.py::weighted_x_edges) instead of an
+even split — the applied form of the reference's weighted block
+assignment (core/decomposition.f90:614-669). Shards get unequal valid
+row counts (padded to a common tile multiple); the margin exchange slices
+each shard's edge strips at its own dynamic offset, and the kernel's
+per-tile wet guard skips pad AND all-land tiles entirely (the shard-level
+analog of the reference's weight-0 block drop, decomposition.f90:578) —
+so equal-wet cuts translate into equal per-shard WORK, not just equal
+area.
 """
 
 from __future__ import annotations
@@ -42,6 +54,7 @@ from ..core.grid import Grid
 from ..core.state import SWState
 from ..ops import sw_kernels as swk
 from ..ops.pallas import fused_step as fsk
+from ..parallel.decomposition import weighted_x_edges
 
 M = fsk.MARGIN   # margin width in both axes
 
@@ -52,7 +65,8 @@ class FusedSharded2DModel:
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
                  px: int, py: int, tx: int = 64, devices=None,
                  interpret: bool = False, mu_const: float = 0.0,
-                 static_rslu: bool = True, steps_per_call: int = 1):
+                 static_rslu: bool = True, steps_per_call: int = 1,
+                 weighted: bool = False, tile_guard: bool = True):
         self.grid = grid
         self.cfg = cfg
         self.px, self.py = px, py
@@ -60,15 +74,26 @@ class FusedSharded2DModel:
             devices = jax.devices()[:px * py]
         self.mesh = Mesh(np.array(devices).reshape(px, py), ("x", "y"))
 
-        xl = -(-grid.nx // (px * tx)) * tx
-        yl = -(-grid.ny // py)
-        if xl < M or yl < M:
-            raise ValueError(
-                f"shards must be at least {M} cells wide for the margin "
-                f"exchange (got {xl}x{yl}); use a smaller mesh")
         self.periodic_x = bool(grid.periodic_x)
         self.periodic_y = bool(grid.periodic_y)
-        if self.periodic_x and xl * px != grid.nx:
+        self.weighted = bool(weighted) and px > 1
+        yl = -(-grid.ny // py)
+        if self.weighted:
+            # equal-wet x cut lines; local pad (not global) absorbs the
+            # unequal band widths
+            int_mask = (np.asarray(grid.lu) < 0.5).astype(np.int32)
+            edges = weighted_x_edges(int_mask, px, min_width=M)
+        else:
+            xl = -(-grid.nx // (px * tx)) * tx
+            edges = np.arange(px + 1, dtype=np.int64) * xl
+        self.x_edges = edges
+        lx = np.diff(edges).astype(np.int64)          # valid rows/shard
+        Xpad = int(-(-lx.max() // tx) * tx)           # common local extent
+        if Xpad < M or yl < M:
+            raise ValueError(
+                f"shards must be at least {M} cells wide for the margin "
+                f"exchange (got {lx.min()}x{yl}); use a smaller mesh")
+        if self.periodic_x and int(edges[-1]) != grid.nx:
             raise ValueError(
                 f"periodic x needs nx divisible by px*tx "
                 f"(nx={grid.nx}, px={px}, tx={tx})")
@@ -76,14 +101,17 @@ class FusedSharded2DModel:
             raise ValueError(
                 f"periodic y needs ny divisible by py "
                 f"(ny={grid.ny}, py={py})")
-        self.xl, self.yl = xl, yl
-        self.Xg, self.Yg = xl * px, yl * py
-        self.lay = fsk.FusedLayout(nx=grid.nx, ny=grid.ny, X=xl,
-                                   Xs=xl + 2 * M, Ys=yl + 2 * M, tx=tx)
+        self.lx = lx
+        self.Xpad, self.yl = Xpad, yl
+        self.Eg = int(edges[-1])     # global x extent spanned by the cuts
+        self.Yg = yl * py
+        self.lay = fsk.FusedLayout(nx=grid.nx, ny=grid.ny, X=Xpad,
+                                   Xs=Xpad + 2 * M, Ys=yl + 2 * M, tx=tx)
+        n_tiles = Xpad // tx
 
         # ---- global -> per-shard margined statics -----------------------
         def pad2(g):
-            """(Xg, Yg) -> (Xg+2M, Yg+2M) margins: wrapped on periodic
+            """(Eg, Yg) -> (Eg+2M, Yg+2M) margins: wrapped on periodic
             axes (seam adjacency), land zeros elsewhere."""
             g = np.pad(g, ((M, M), (0, 0)),
                        mode="wrap" if self.periodic_x else "constant")
@@ -91,18 +119,21 @@ class FusedSharded2DModel:
                           mode="wrap" if self.periodic_y else "constant")
 
         def shard4(gp, lead=0):
-            """Margined global (..., Xg+2M, Yg+2M) -> per-shard blocks
-            (px, py, ..., xl+2M, yl+2M)."""
+            """Margined global (..., Eg+2M, Yg+2M) -> per-shard blocks
+            (px, py, ..., Xpad+2M, yl+2M), band rows sliced at the cut
+            lines, zero-filled beyond each band's extent."""
             out = np.zeros((px, py) + gp.shape[:lead]
-                           + (xl + 2 * M, yl + 2 * M), np.float32)
+                           + (Xpad + 2 * M, yl + 2 * M), np.float32)
             for i in range(px):
+                w = int(lx[i]) + 2 * M
                 for j in range(py):
-                    out[i, j] = gp[..., i * xl: i * xl + xl + 2 * M,
-                                   j * yl: j * yl + yl + 2 * M]
+                    out[i, j, ..., :w, :] = \
+                        gp[..., edges[i]: edges[i] + w,
+                           j * yl: j * yl + yl + 2 * M]
             return out
 
         def glob(field2d):
-            g = np.zeros((self.Xg, self.Yg), np.float32)
+            g = np.zeros((self.Eg, self.Yg), np.float32)
             g[:grid.nx, :grid.ny] = np.asarray(field2d)
             return g
 
@@ -111,6 +142,23 @@ class FusedSharded2DModel:
         self.lu_shards = jnp.asarray(shard4(lu_gp))
         self.hr_shards = jnp.asarray(shard4(hr_gp))
 
+        # per-shard valid row counts + per-tile wet flags (the tile guard
+        # skips pad and all-land tiles; see module docstring)
+        self.lx_arr = jnp.asarray(lx.astype(np.int32))
+        self.tile_guard = bool(tile_guard)
+        wet = np.asarray(grid.lu) > 0.5
+        tw = np.zeros((px, py, n_tiles), np.int32)
+        for i in range(px):
+            for j in range(py):
+                for t in range(n_tiles):
+                    r0 = int(edges[i]) + t * tx
+                    r1 = min(int(edges[i]) + (t + 1) * tx, int(edges[i + 1]),
+                             grid.nx)
+                    c0, c1 = j * yl, min((j + 1) * yl, grid.ny)
+                    if r0 < r1 and c0 < c1:
+                        tw[i, j, t] = int(wet[r0:r1, c0:c1].any())
+        self.tile_wet = jnp.asarray(tw)
+
         # ---- metrics: y-profiles (x-uniform) or full 2D planes ----------
         try:
             gprof = self._global_profiles(grid)       # (N_PROF, ny)
@@ -118,7 +166,7 @@ class FusedSharded2DModel:
         except ValueError:
             self.metrics_2d = True
         if self.metrics_2d:
-            met_g = self._global_planes(grid, pad2)   # (16, Xg+2M, Yg+2M)
+            met_g = self._global_planes(grid)         # (16, Eg+2M, Yg+2M)
             self.met_shards = jnp.asarray(shard4(met_g, lead=1))
             met_spec = P("x", "y", None, None, None)
             prof_padded = None
@@ -165,7 +213,8 @@ class FusedSharded2DModel:
             mu_const=self.mu_const, n_tracers=self.n_tracers,
             interpret=interpret, metrics_2d=self.metrics_2d,
             rslu_planes=(True if self.static_rslu else None),
-            steps_per_call=self.steps_per_call)
+            steps_per_call=self.steps_per_call,
+            tile_guard=self.tile_guard)
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:
@@ -176,18 +225,18 @@ class FusedSharded2DModel:
         rows = fsk.metrics_profile_from_grid(grid, lay0)
         return rows[:, fsk.YPAD:fsk.YPAD + grid.ny]
 
-    def _global_planes(self, grid: Grid, pad2) -> np.ndarray:
-        """(16, Xg+2M, Yg+2M) full metric planes for the 2D-metrics
+    def _global_planes(self, grid: Grid) -> np.ndarray:
+        """(16, Eg+2M, Yg+2M) full metric planes for the 2D-metrics
         sharded path; physical edges replicated (or wrapped on periodic
         axes) so reciprocals stay finite."""
         names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb",
                  "rlh_s"]
-        planes = np.zeros((16, self.Xg + 2 * M, self.Yg + 2 * M),
+        planes = np.zeros((16, self.Eg + 2 * M, self.Yg + 2 * M),
                           np.float32)
         for k, name in enumerate(names):
             f = np.asarray(getattr(grid, name), np.float32)
             # edge-extend over the mesh-divisible pad, then margin
-            g = np.pad(f, ((0, self.Xg - grid.nx),
+            g = np.pad(f, ((0, self.Eg - grid.nx),
                            (0, self.Yg - grid.ny)), mode="edge")
             gp = np.pad(g, ((M, M), (0, 0)),
                         mode="wrap" if self.periodic_x else "edge")
@@ -203,10 +252,20 @@ class FusedSharded2DModel:
 
     # ------------------------------------------------------------------
     def pack(self, state: SWState):
+        """State fields -> band-major global arrays (px*Xpad, py*yl),
+        sharded P("x","y"): shard (i,j) holds band rows
+        [x_edges[i], x_edges[i+1]) at local rows [0, lx[i])."""
         def embed(a):
-            g = jnp.zeros((self.Xg, self.Yg), jnp.float32)
-            g = g.at[:self.grid.nx, :self.grid.ny].set(
-                jnp.asarray(a, jnp.float32))
+            a = jnp.asarray(a, jnp.float32)
+            g = jnp.zeros((self.px * self.Xpad, self.Yg), jnp.float32)
+            for i in range(self.px):
+                e0, e1 = int(self.x_edges[i]), int(self.x_edges[i + 1])
+                rows = jnp.zeros((e1 - e0, self.Yg), jnp.float32)
+                rows = rows.at[:min(e1, self.grid.nx) - min(e0, self.grid.nx),
+                               :self.grid.ny].set(
+                    a[min(e0, self.grid.nx):min(e1, self.grid.nx),
+                      :self.grid.ny])
+                g = g.at[i * self.Xpad: i * self.Xpad + e1 - e0].set(rows)
             return jax.device_put(g, NamedSharding(self.mesh, P("x", "y")))
         fields = [state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
                   state.vbrtr, state.vbrtrp]
@@ -215,7 +274,15 @@ class FusedSharded2DModel:
         return tuple(embed(a) for a in fields)
 
     def extract(self, carry):
-        return tuple(a[:self.grid.nx, :self.grid.ny] for a in carry)
+        """Band-major carry arrays -> (nx, ny) global views."""
+        def gather(g):
+            parts = []
+            for i in range(self.px):
+                e0, e1 = int(self.x_edges[i]), int(self.x_edges[i + 1])
+                parts.append(g[i * self.Xpad: i * self.Xpad + (e1 - e0)])
+            return jnp.concatenate(parts, axis=0)[:self.grid.nx,
+                                                  :self.grid.ny]
+        return tuple(gather(a) for a in carry)
 
     # ------------------------------------------------------------------
     def make_runner(self, n_inner: int):
@@ -234,15 +301,26 @@ class FusedSharded2DModel:
         if self.periodic_y and py > 1:
             fwd_y.append((py - 1, 0))
             bwd_y.append((0, py - 1))
+        weighted = self.weighted
 
-        def exchange(f):
-            """(xl, yl) -> (xl+2M, yl+2M); y-pass on the x-margined array
-            carries the corners. 1-shard periodic axes wrap locally."""
+        def exchange(f, lxl):
+            """(Xpad, yl) -> (Xpad+2M, yl+2M); the y-pass on the
+            x-margined array carries the corners. ``lxl``: this shard's
+            valid row count (weighted cuts slice the edge strips at
+            dynamic offsets; uniform cuts use static strips)."""
             if px == 1:
                 if self.periodic_x:
                     fx = jnp.concatenate([f[-M:], f, f[:M]], axis=0)
                 else:
                     fx = jnp.pad(f, ((M, M), (0, 0)))
+            elif weighted:
+                last = lax.dynamic_slice_in_dim(f, lxl - M, M, 0)
+                low = lax.ppermute(last, "x", fwd_x)
+                high = lax.ppermute(f[:M], "x", bwd_x)
+                fx = jnp.zeros((self.Xpad + 2 * M, f.shape[1]), f.dtype)
+                fx = lax.dynamic_update_slice_in_dim(fx, f, M, 0)
+                fx = lax.dynamic_update_slice_in_dim(fx, low, 0, 0)
+                fx = lax.dynamic_update_slice_in_dim(fx, high, M + lxl, 0)
             else:
                 low = lax.ppermute(f[-M:], "x", fwd_x)
                 high = lax.ppermute(f[:M], "x", bwd_x)
@@ -256,17 +334,22 @@ class FusedSharded2DModel:
             high = lax.ppermute(fx[:, :M], "y", bwd_y)
             return jnp.concatenate([low, fx, high], axis=1)
 
-        def local_fn(lu_b, hr_b, met_b, plane_b, carry):
+        def local_fn(lu_b, hr_b, met_b, plane_b, lx_b, tw_b, carry):
             lu_l = lu_b[0, 0]
             hr_l = hr_b[0, 0]
             met_l = met_b[0, 0] if self.metrics_2d else met_b[0]
+            lxl = lx_b[0]
             extra = ()
             if self.static_rslu:
                 extra = (plane_b[0, 0],)
+            kw = {}
+            if self.tile_guard:
+                kw["tile_wet"] = tw_b[0, 0]
 
             def one(c, _):
-                margined = tuple(exchange(f) for f in c)
-                outs = self.step_raw(lu_l, hr_l, met_l, *extra, *margined)
+                margined = tuple(exchange(f, lxl) for f in c)
+                outs = self.step_raw(lu_l, hr_l, met_l, *extra,
+                                     *margined, **kw)
                 return tuple(o[M:-M, M:-M] for o in outs), None
 
             carry, _ = lax.scan(one, tuple(carry), None,
@@ -284,7 +367,8 @@ class FusedSharded2DModel:
         sharded = jax.shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(P("x", "y", None, None), P("x", "y", None, None),
-                      self._met_spec, plane_spec,
+                      self._met_spec, plane_spec, P("x"),
+                      P("x", "y", None),
                       tuple(P("x", "y") for _ in range(nf))),
             out_specs=(tuple(P("x", "y") for _ in range(nf)), P()),
             check_vma=False,
@@ -293,6 +377,7 @@ class FusedSharded2DModel:
         @jax.jit
         def runner(carry):
             return sharded(self.lu_shards, self.hr_shards,
-                           self.met_shards, planes, tuple(carry))
+                           self.met_shards, planes, self.lx_arr,
+                           self.tile_wet, tuple(carry))
 
         return runner

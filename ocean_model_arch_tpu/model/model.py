@@ -91,14 +91,27 @@ class OceanModel:
         """Decomposition + memory diagnostics (the reference's DD INFO /
         SYNC INFO / memory-profile startup prints)."""
         from ..diag.memory import report as mem_report
-        from ..parallel.decomposition import mesh_split_report
+        from ..parallel.decomposition import (mesh_split_report,
+                                              weighted_x_edges,
+                                              x_band_balance)
         px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
         lines = []
-        rep = mesh_split_report(
-            (np.asarray(self.grid.lu) < 0.5).astype(np.int32), px, py)
+        int_mask = (np.asarray(self.grid.lu) < 0.5).astype(np.int32)
+        rep = mesh_split_report(int_mask, px, py)
         lines.append(f"DD INFO: mesh {px}x{py}, wet fraction "
                      f"{rep['wet_fraction']:.3f}, load-balance ratio "
                      f"(max/mean wet points) {rep['balance_ratio']:.3f}")
+        if px > 1:
+            try:
+                edges = weighted_x_edges(int_mask, px)
+                ratio = x_band_balance(int_mask, edges, py)
+                tag = ("selected" if self.cfg.parallel.mod_decomposition
+                       == 1 else "available via mod_decomposition=1")
+                lines.append(
+                    f"DD INFO: weighted x-cuts {list(map(int, edges))} "
+                    f"balance {ratio:.3f} ({tag})")
+            except ValueError:
+                pass
         lines.append(mem_report(self.state, self.grid))
         return "\n".join(lines)
 
@@ -144,10 +157,13 @@ class OceanModel:
         if self._use_fused_sharded():
             from .fused_sharded2d import FusedSharded2DModel
             if not hasattr(self, "_fused_sh"):
+                # parallel.par mod_decomposition=1 selects the weighted
+                # (equal-wet) cut lines (decomposition.f90:614-669)
                 self._fused_sh = FusedSharded2DModel(
                     self.grid, self.cfg, tau,
                     self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y,
-                    mu_const=self.state_mu_const())
+                    mu_const=self.state_mu_const(),
+                    weighted=self.cfg.parallel.mod_decomposition == 1)
             fs = self._fused_sh
             inner = fs.make_runner(n_inner)
 

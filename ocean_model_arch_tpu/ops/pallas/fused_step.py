@@ -124,7 +124,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  ffs: int, trans: int, ksw: int, mu_const: float,
                  n_tracers: int = 0, metrics_2d: bool = False,
                  static_rslu: bool = False, steps_per_call: int = 1,
-                 has_lu: bool = True, has_hr: bool = True):
+                 has_lu: bool = True, has_hr: bool = True,
+                 tile_guard: bool = False):
     M = MARGIN
     Ys = lay.Ys
     g = float(FREE_FALL_ACC)
@@ -754,7 +755,29 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         for o, x in zip(outs, final):
             o[...] = x
 
-    return kernel
+    if not tile_guard:
+        return kernel
+
+    def guarded(wet_ref, *refs):
+        """Land/pad-tile elision (the shard-level form of the reference's
+        weight-0 block drop, decomposition.f90:505-578): the scalar-
+        prefetch plane says whether this tile's valid cells contain any
+        water. All-land (or all-pad) tiles skip the whole step and write
+        exact zeros — the value land cells hold by construction."""
+        n_out = 6 + 2 * n_tracers
+        outs = refs[len(refs) - n_out:]
+        active = wet_ref[pl.program_id(0)] > 0
+
+        @pl.when(active)
+        def _():
+            kernel(*refs)
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            for o in outs:
+                o[...] = jnp.zeros(o.shape, o.dtype)
+
+    return guarded
 
 
 def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
@@ -763,7 +786,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         n_tracers: int = 0, interpret: bool = False,
                         vmem_limit_bytes: int | None = None,
                         metrics_2d: bool = False,
-                        rslu_planes=None, steps_per_call: int = 1):
+                        rslu_planes=None, steps_per_call: int = 1,
+                        tile_guard: bool = False):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring).
 
@@ -799,31 +823,34 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         n_tracers, metrics_2d=metrics_2d,
                         static_rslu=static_rslu,
                         steps_per_call=steps_per_call,
-                        has_lu=has_lu, has_hr=has_hr)
+                        has_lu=has_lu, has_hr=has_hr,
+                        tile_guard=tile_guard)
 
     n_tiles = lay.X // tx
 
+    # index_maps take (i, *scalar_prefetch_refs) — the trailing *_ keeps
+    # them valid with and without the tile-guard scalar plane
     def in_spec():
         return pl.BlockSpec(
             (pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
-            lambda i: (pl.multiple_of(i * tx, 8), 0),
+            lambda i, *_: (pl.multiple_of(i * tx, 8), 0),
             memory_space=pltpu.VMEM)
 
     def out_spec():
         return pl.BlockSpec(
             (pl.Element(tx), pl.Element(lay.Ys)),
-            lambda i: (pl.multiple_of(i * tx + M, 8), 0),
+            lambda i, *_: (pl.multiple_of(i * tx + M, 8), 0),
             memory_space=pltpu.VMEM)
 
     if metrics_2d:
         met_spec = pl.BlockSpec(
             (pl.Element(16), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
-            lambda i: (0, pl.multiple_of(i * tx, 8), 0),
+            lambda i, *_: (0, pl.multiple_of(i * tx, 8), 0),
             memory_space=pltpu.VMEM)
     else:
         met_spec = pl.BlockSpec(
             (pl.Element(N_PROF), pl.Element(lay.Ys)),
-            lambda i: (0, 0), memory_space=pltpu.VMEM)
+            lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
 
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
     n_out = 6 + 2 * n_tracers
@@ -841,20 +868,37 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         rslu_specs = [pl.BlockSpec(
             (pl.Element(n_pl), pl.Element(tx + 2 * M),
              pl.Element(lay.Ys)),
-            lambda i: (0, pl.multiple_of(i * tx, 8), 0),
+            lambda i, *_: (0, pl.multiple_of(i * tx, 8), 0),
             memory_space=pltpu.VMEM)]
     n_base = int(has_lu) + int(has_hr)
-    call = pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
-        in_specs=([in_spec() for _ in range(n_base + 6)] + [met_spec]
-                  + rslu_specs
-                  + [in_spec() for _ in range(2 * n_tracers)]),
-        out_specs=[out_spec() for _ in range(n_out)],
-        out_shape=[shape] * n_out,
-        interpret=interpret,
-        **extra,
-    )
+    in_specs = ([in_spec() for _ in range(n_base + 6)] + [met_spec]
+                + rslu_specs
+                + [in_spec() for _ in range(2 * n_tracers)])
+    out_specs = [out_spec() for _ in range(n_out)]
+    if tile_guard:
+        # per-tile wet flags ride as a scalar-prefetch SMEM plane; the
+        # guarded kernel reads flag[program_id] before any tile work
+        call = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=out_specs),
+            out_shape=[shape] * n_out,
+            interpret=interpret,
+            **extra,
+        )
+    else:
+        call = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[shape] * n_out,
+            interpret=interpret,
+            **extra,
+        )
 
     if lu_s is None:
         if static_rslu:
@@ -862,14 +906,18 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                 "raw form takes planes at runtime (rslu_planes=True)"
 
             def step_raw(lu_a, hr_a, met_a, planes_a,
-                         ssh, sshp, u, up, v, vp, *tracers):
-                return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp,
-                                  met_a, planes_a, *tracers))
+                         ssh, sshp, u, up, v, vp, *tracers,
+                         tile_wet=None):
+                pre = (tile_wet,) if tile_guard else ()
+                return tuple(call(*pre, lu_a, hr_a, ssh, sshp, u, up, v,
+                                  vp, met_a, planes_a, *tracers))
             return step_raw
 
-        def step_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp, *tracers):
-            return tuple(call(lu_a, hr_a, ssh, sshp, u, up, v, vp, met_a,
-                              *tracers))
+        def step_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp, *tracers,
+                     tile_wet=None):
+            pre = (tile_wet,) if tile_guard else ()
+            return tuple(call(*pre, lu_a, hr_a, ssh, sshp, u, up, v, vp,
+                              met_a, *tracers))
         return step_raw
 
     base = []
@@ -880,9 +928,15 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     met = jnp.asarray(metrics_profile, jnp.float32)
     statics = ((jnp.asarray(rslu_planes, jnp.float32),)
                if static_rslu else ())
+    pre = ()
+    if tile_guard:
+        lu_np = np.asarray(lu_s)
+        tw = np.array([(lu_np[M + i * tx: M + (i + 1) * tx] > 0.5).any()
+                       for i in range(n_tiles)], np.int32)
+        pre = (jnp.asarray(tw),)
 
     def step(ssh, sshp, u, up, v, vp, *tracers):
-        return tuple(call(*base, ssh, sshp, u, up, v, vp, met,
+        return tuple(call(*pre, *base, ssh, sshp, u, up, v, vp, met,
                           *statics, *tracers))
 
     return step

@@ -190,6 +190,80 @@ def rebalance_powers(dec: BlockDecomposition, n_dev: int,
 
 
 # --------------------------------------------------------------------------
+# Weighted shard cuts (the applied form of the block weights)
+# --------------------------------------------------------------------------
+
+def weighted_x_edges(int_mask: np.ndarray, px: int,
+                     min_width: int = 8) -> np.ndarray:
+    """Non-uniform x cut lines with ~equal WET points per x-band — the
+    shard-level application of the reference's weighted block assignment
+    (decomposition.f90:614-669): instead of assigning weighted blocks to
+    ranks, the SPMD mesh's cut lines themselves follow the wet-point
+    cumulative distribution. Bands are at least ``min_width`` rows (the
+    margin-exchange minimum). Returns edges of length px+1 with
+    edges[0] = 0, edges[-1] = nx."""
+    nx = int_mask.shape[0]
+    wet_per_row = (int_mask == 0).sum(axis=1).astype(np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(wet_per_row)])
+    total = cum[-1]
+    edges = np.zeros(px + 1, np.int64)
+    edges[-1] = nx
+    for k in range(1, px):
+        edges[k] = int(np.searchsorted(cum, total * k / px))
+    # enforce monotonicity + minimum band width
+    for k in range(1, px + 1):
+        edges[k] = max(edges[k], edges[k - 1] + min_width)
+    edges[-1] = nx
+    for k in range(px, 0, -1):
+        edges[k - 1] = min(edges[k - 1], edges[k] - min_width)
+    if edges[0] != 0:
+        raise ValueError(f"cannot fit {px} bands of >= {min_width} rows "
+                         f"into nx={nx}")
+    edges[0] = 0
+    return edges
+
+
+def x_band_balance(int_mask: np.ndarray, edges: np.ndarray,
+                   py: int) -> float:
+    """max/mean wet points per shard for x-bands ``edges`` x uniform
+    y-split (the balance figure the weighted cuts minimize)."""
+    ny = int_mask.shape[1]
+    wet = (int_mask == 0)
+    iy = np.linspace(0, ny, py + 1).astype(int)
+    w = np.array([[wet[edges[i]:edges[i + 1], iy[j]:iy[j + 1]].sum()
+                   for j in range(py)]
+                  for i in range(len(edges) - 1)], np.float64)
+    m = w.mean()
+    return float(w.max() / m) if m > 0 else float("inf")
+
+
+def choose_mesh_dims(int_mask: np.ndarray, n_dev: int,
+                     min_width: int = 8) -> tuple[int, int]:
+    """Pick the (px, py) factorization of n_dev minimizing the weighted
+    wet-point balance ratio (mpi_dims_create + weights). Ties break
+    toward square-ish meshes."""
+    nx, ny = int_mask.shape
+    best = None
+    for px in range(1, n_dev + 1):
+        if n_dev % px:
+            continue
+        py = n_dev // px
+        if nx // px < min_width or ny // py < min_width:
+            continue
+        try:
+            edges = weighted_x_edges(int_mask, px, min_width)
+        except ValueError:
+            continue
+        ratio = x_band_balance(int_mask, edges, py)
+        key = (ratio, abs(px - py))
+        if best is None or key < best[0]:
+            best = (key, (px, py))
+    if best is None:
+        raise ValueError(f"no feasible mesh for {n_dev} devices")
+    return best[1]
+
+
+# --------------------------------------------------------------------------
 # Diagnostics
 # --------------------------------------------------------------------------
 

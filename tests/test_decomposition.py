@@ -82,3 +82,29 @@ def test_dump(tmp_path):
     lines = p.read_text().splitlines()
     assert lines[0] == "4 4"
     assert len(lines) == 1 + 16
+
+
+def test_weighted_x_cuts_improve_balance():
+    """Weighted (equal-wet) cut lines beat the naive even split on the
+    real Black Sea and Azov coastlines (the applied form of the weighted
+    block assignment, decomposition.f90:614-669)."""
+    for path, nx, ny, px, py in [("data/BS/mask_bs4km.txt", 289, 163, 2, 4),
+                                 ("data/AS/maskAzovCor.txt", 1525, 1115,
+                                  4, 2)]:
+        mask = load_mask(path, nx, ny, REPO)
+        uniform_edges = np.linspace(0, nx, px + 1).astype(np.int64)
+        r_uni = dd.x_band_balance(mask, uniform_edges, py)
+        edges = dd.weighted_x_edges(mask, px)
+        r_w = dd.x_band_balance(mask, edges, py)
+        assert r_w < r_uni, (path, r_w, r_uni)
+        assert edges[0] == 0 and edges[-1] == nx
+
+
+def test_choose_mesh_dims():
+    mask = load_mask("data/BS/mask_bs4km.txt", 289, 163, REPO)
+    px, py = dd.choose_mesh_dims(mask, 8)
+    assert px * py == 8
+    # the chosen split's weighted balance is no worse than the naive 8x1
+    edges = dd.weighted_x_edges(mask, px)
+    assert dd.x_band_balance(mask, edges, py) <= dd.x_band_balance(
+        mask, np.linspace(0, 289, 9).astype(np.int64), 1) + 1e-9

@@ -100,6 +100,54 @@ def test_fused_2d_mesh_bipolar():
         assert rel < 2e-5, (name, rel)
 
 
+def test_fused_2d_mesh_weighted_cuts(case):
+    """Weighted (equal-wet) x cut lines + per-tile land/pad elision must
+    reproduce the reference trajectory exactly like the uniform split —
+    the applied form of decomposition.f90:614-669 + the weight-0 block
+    drop (:578)."""
+    grid, cfg, state, ref = case
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 4, 2, tx=8, interpret=True,
+                             weighted=True)
+    assert fm.weighted
+    assert int(fm.x_edges[-1]) == grid.nx     # cuts span exactly [0, nx)
+    c, ok = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("ff", fields[6], ref.ff[0])]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 1e-5, (name, rel)
+
+
+def test_tile_guard_skips_land_band(case):
+    """A mask with an all-land x-band: the guarded kernel (skipping those
+    tiles, writing exact zeros) must match the unguarded trajectory."""
+    import dataclasses
+    basin = basinpar_flat(64, 48, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, precision=prec)
+    mask = frame_of_land_mask(64, 48)
+    mask[24:40, :] = 1          # dead tiles at tx=8
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             tile_guard=True)
+    assert int(np.asarray(fm.tile_wet).sum()) < fm.tile_wet.size
+    c, ok2 = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok2)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 1e-5, (name, rel)
+
+
 @pytest.mark.parametrize("px,py", [(2, 2), (1, 2)])
 def test_fused_2d_mesh_periodic_x(px, py):
     """Periodic-x channel on the sharded fused path: the margin exchange
