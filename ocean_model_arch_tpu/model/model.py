@@ -139,6 +139,26 @@ class OceanModel:
                 and self.state_mu_const() is not None
                 and fused_available(self.grid, self.cfg))
 
+    def _fused_periodic_tx(self):
+        """Single-device periodic runs use FusedSharded2DModel on a 1x1
+        'mesh' (the margin exchange wraps locally); periodic x needs a
+        tile size dividing nx exactly. Returns tx or None."""
+        g = self.grid
+        if not (g.periodic_x or g.periodic_y):
+            return None
+        if self.mesh is not None:
+            return None
+        if self.cfg.precision.state_dtype != np.float32 \
+                or self.state_mu_const() is None \
+                or jax.devices()[0].platform == "cpu":
+            return None
+        if not g.periodic_x:
+            return 64
+        for tx in (128, 64, 32, 16, 8):
+            if g.nx % tx == 0:
+                return tx
+        return None
+
     def _use_fused_sharded(self) -> bool:
         from .fused import fused_available
         on_tpu = jax.devices()[0].platform != "cpu"
@@ -152,6 +172,24 @@ class OceanModel:
                 and fused_available(self.grid, self.cfg, sharded=True,
                                     px=px, py=py))
 
+    def _fused_sharded_runner(self, fs, n_inner: int):
+        inner = fs.make_runner(n_inner)
+
+        def runner(st):
+            carry = fs.pack(st)
+            carry, ok = inner(carry)
+            fields = fs.extract(carry)
+            import dataclasses as _dc
+            upd = dict(zip(("ssh", "sshp", "ubrtr", "ubrtrp",
+                            "vbrtr", "vbrtrp"), fields[:6]))
+            if fs.n_tracers:
+                upd["ff"] = jnp.stack(fields[6::2])
+                upd["ffp"] = jnp.stack(fields[7::2])
+                upd["ffn"] = upd["ff"]
+            return _dc.replace(st, **{k: jnp.asarray(
+                v, st.ssh.dtype) for k, v in upd.items()}), ok
+        return runner
+
     def _make_runner(self, n_inner: int):
         tau = self.cfg.run.tau
         if self._use_fused_sharded():
@@ -164,29 +202,23 @@ class OceanModel:
                     self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y,
                     mu_const=self.state_mu_const(),
                     weighted=self.cfg.parallel.mod_decomposition == 1)
-            fs = self._fused_sh
-            inner = fs.make_runner(n_inner)
-
-            def runner(st):
-                carry = fs.pack(st)
-                carry, ok = inner(carry)
-                fields = fs.extract(carry)
-                import dataclasses as _dc
-                upd = dict(zip(("ssh", "sshp", "ubrtr", "ubrtrp",
-                                "vbrtr", "vbrtrp"), fields[:6]))
-                if fs.n_tracers:
-                    upd["ff"] = jnp.stack(fields[6::2])
-                    upd["ffp"] = jnp.stack(fields[7::2])
-                    upd["ffn"] = upd["ff"]
-                return _dc.replace(st, **{k: jnp.asarray(
-                    v, st.ssh.dtype) for k, v in upd.items()}), ok
-            return runner
+            return self._fused_sharded_runner(self._fused_sh, n_inner)
         if self.mesh is not None:
             stepn = make_sharded_step(self._grid_s, self.cfg, self.mesh,
                                       n_inner=n_inner)
             def runner(st):
                 return stepn(st, tau)
             return runner
+        ptx = self._fused_periodic_tx()
+        if ptx is not None:
+            # periodic single-device: the fused kernel on a 1x1 'mesh'
+            # whose margin exchange wraps locally
+            from .fused_sharded2d import FusedSharded2DModel
+            if not hasattr(self, "_fused_per"):
+                self._fused_per = FusedSharded2DModel(
+                    self.grid, self.cfg, tau, 1, 1, tx=ptx,
+                    mu_const=self.state_mu_const())
+            return self._fused_sharded_runner(self._fused_per, n_inner)
         if self._use_fused():
             from .fused import FusedSWModel
             if not hasattr(self, "_fused"):
@@ -264,6 +296,8 @@ class OceanModel:
                 path = "fused Pallas kernel, sharded"
             elif self.mesh is not None:
                 path = "jnp composition, sharded"
+            elif self._fused_periodic_tx() is not None:
+                path = "fused Pallas kernel, periodic (1x1 wrap)"
             elif self._use_fused():
                 path = "fused Pallas kernel"
             else:

@@ -194,22 +194,32 @@ def rebalance_powers(dec: BlockDecomposition, n_dev: int,
 # --------------------------------------------------------------------------
 
 def weighted_x_edges(int_mask: np.ndarray, px: int,
-                     min_width: int = 8) -> np.ndarray:
+                     min_width: int = 8,
+                     compute_powers=None) -> np.ndarray:
     """Non-uniform x cut lines with ~equal WET points per x-band — the
     shard-level application of the reference's weighted block assignment
     (decomposition.f90:614-669): instead of assigning weighted blocks to
     ranks, the SPMD mesh's cut lines themselves follow the wet-point
     cumulative distribution. Bands are at least ``min_width`` rows (the
     margin-exchange minimum). Returns edges of length px+1 with
-    edges[0] = 0, edges[-1] = nx."""
+    edges[0] = 0, edges[-1] = nx.
+
+    ``compute_powers``: optional per-band relative throughputs (the DLB
+    loop's measured compute_power, control/preprocess.f90:21-100): band k
+    targets a wet share proportional to its power instead of 1/px."""
     nx = int_mask.shape[0]
     wet_per_row = (int_mask == 0).sum(axis=1).astype(np.float64)
     cum = np.concatenate([[0.0], np.cumsum(wet_per_row)])
     total = cum[-1]
+    if compute_powers is None:
+        targets = np.arange(1, px) / px
+    else:
+        p = np.asarray(compute_powers, np.float64)
+        targets = np.cumsum(p / p.sum())[:-1]
     edges = np.zeros(px + 1, np.int64)
     edges[-1] = nx
     for k in range(1, px):
-        edges[k] = int(np.searchsorted(cum, total * k / px))
+        edges[k] = int(np.searchsorted(cum, total * targets[k - 1]))
     # enforce monotonicity + minimum band width
     for k in range(1, px + 1):
         edges[k] = max(edges[k], edges[k - 1] + min_width)
