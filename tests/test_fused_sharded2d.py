@@ -148,6 +148,25 @@ def test_tile_guard_skips_land_band(case):
         assert rel < 1e-5, (name, rel)
 
 
+def test_fused_sharded_collective_schedule(case):
+    """The fused sharded step exchanges exactly the prognostic set —
+    (6+2T) fields x 4 permutes (2 strips x 2 axes) per exchange, like
+    the reference's per-step sync lists (sw_interface.f90:330-381) —
+    and steps_per_call=2 halves the per-model-step collective count."""
+    grid, cfg, state, _ = case
+    for spc in (1, 2):
+        fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8,
+                                 interpret=True, steps_per_call=spc)
+        runner = fm.make_runner(8)
+        txt = jax.jit(lambda c: runner(c)).lower(fm.pack(state)).as_text()
+        i = txt.find("stablehlo.while")
+        assert i > 0
+        body = txt[i:].count("collective_permute")
+        assert body == (6 + 2 * fm.n_tracers) * 4, (spc, body)
+        # spc=2: the same per-iteration exchange advances TWO model
+        # steps (scan length halves), so collectives per step halve
+
+
 @pytest.mark.parametrize("px,py", [(2, 2), (1, 2)])
 def test_fused_2d_mesh_periodic_x(px, py):
     """Periodic-x channel on the sharded fused path: the margin exchange
