@@ -19,7 +19,9 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*",
                    help="positional overrides: mod_decomposition bppnx bppny")
     p.add_argument("--mesh", default=None,
-                   help="device mesh as PXxPY (e.g. 2x4)")
+                   help="device mesh as PXxPY (e.g. 2x4), or 'auto' to "
+                        "pick the wet-balance-optimal factorization of "
+                        "all visible devices (choose_mesh_dims)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--ckpt-format", choices=("npz", "orbax"),
                    default="npz",
@@ -45,7 +47,18 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, precision=Precision.f32())
     else:
         jax.config.update("jax_enable_x64", True)
-    if args.mesh:
+    if args.mesh == "auto":
+        from .io.mask_io import load_mask
+        from .parallel.decomposition import choose_mesh_dims
+        int_mask = load_mask(cfg.basin.mask_file_name, cfg.basin.nx,
+                             cfg.basin.ny, args.config_dir)
+        px, py = choose_mesh_dims(int_mask, jax.device_count())
+        print(f"MODEL: auto mesh {px}x{py} "
+              f"(wet-balance-optimal for {jax.device_count()} devices)")
+        cfg = dataclasses.replace(
+            cfg, parallel=dataclasses.replace(cfg.parallel,
+                                              mesh_x=px, mesh_y=py))
+    elif args.mesh:
         px, py = (int(v) for v in args.mesh.lower().split("x"))
         cfg = dataclasses.replace(
             cfg, parallel=dataclasses.replace(cfg.parallel,
