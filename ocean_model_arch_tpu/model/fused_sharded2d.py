@@ -105,8 +105,13 @@ class FusedSharded2DModel:
         self.Xpad, self.yl = Xpad, yl
         self.Eg = int(edges[-1])     # global x extent spanned by the cuts
         self.Yg = yl * py
+        # lane extent rounded up to a multiple of 128: misaligned lane
+        # rolls cost ~2.6x (see fused_step.make_layout); the dead lanes
+        # beyond the y-margin are zero-filled land
+        Ysp = -(-(yl + 2 * M) // 128) * 128
+        self.Ysp = Ysp
         self.lay = fsk.FusedLayout(nx=grid.nx, ny=grid.ny, X=Xpad,
-                                   Xs=Xpad + 2 * M, Ys=yl + 2 * M, tx=tx)
+                                   Xs=Xpad + 2 * M, Ys=Ysp, tx=tx)
         n_tiles = Xpad // tx
 
         # ---- global -> per-shard margined statics -----------------------
@@ -120,14 +125,15 @@ class FusedSharded2DModel:
 
         def shard4(gp, lead=0):
             """Margined global (..., Eg+2M, Yg+2M) -> per-shard blocks
-            (px, py, ..., Xpad+2M, yl+2M), band rows sliced at the cut
-            lines, zero-filled beyond each band's extent."""
+            (px, py, ..., Xpad+2M, Ysp), band rows sliced at the cut
+            lines, zero-filled beyond each band's extent (and beyond the
+            y-margin, the lane-alignment pad)."""
             out = np.zeros((px, py) + gp.shape[:lead]
-                           + (Xpad + 2 * M, yl + 2 * M), np.float32)
+                           + (Xpad + 2 * M, Ysp), np.float32)
             for i in range(px):
                 w = int(lx[i]) + 2 * M
                 for j in range(py):
-                    out[i, j, ..., :w, :] = \
+                    out[i, j, ..., :w, :yl + 2 * M] = \
                         gp[..., edges[i]: edges[i] + w,
                            j * yl: j * yl + yl + 2 * M]
             return out
@@ -176,9 +182,10 @@ class FusedSharded2DModel:
             prof_padded = np.pad(gprof, ((0, 0), (M, M)),
                                  mode="wrap" if self.periodic_y
                                  else "edge")      # (N_PROF, Yg+2M)
-            prof_sh = np.zeros((py, fsk.N_PROF, yl + 2 * M), np.float32)
+            prof_sh = np.zeros((py, fsk.N_PROF, Ysp), np.float32)
             for j in range(py):
-                prof_sh[j] = prof_padded[:, j * yl: j * yl + yl + 2 * M]
+                prof_sh[j, :, :yl + 2 * M] = \
+                    prof_padded[:, j * yl: j * yl + yl + 2 * M]
             self.met_shards = jnp.asarray(prof_sh)
             met_spec = P("y", None, None)
         self._met_spec = met_spec
@@ -325,14 +332,18 @@ class FusedSharded2DModel:
                 low = lax.ppermute(f[-M:], "x", fwd_x)
                 high = lax.ppermute(f[:M], "x", bwd_x)
                 fx = jnp.concatenate([low, f, high], axis=0)
+            ypad = self.Ysp - (self.yl + 2 * M)   # lane-alignment pad
             if py == 1:
                 if self.periodic_y:
-                    return jnp.concatenate([fx[:, -M:], fx, fx[:, :M]],
-                                           axis=1)
-                return jnp.pad(fx, ((0, 0), (M, M)))
+                    fy = jnp.concatenate([fx[:, -M:], fx, fx[:, :M]],
+                                         axis=1)
+                else:
+                    fy = jnp.pad(fx, ((0, 0), (M, M)))
+                return jnp.pad(fy, ((0, 0), (0, ypad)))
             low = lax.ppermute(fx[:, -M:], "y", fwd_y)
             high = lax.ppermute(fx[:, :M], "y", bwd_y)
-            return jnp.concatenate([low, fx, high], axis=1)
+            return jnp.pad(jnp.concatenate([low, fx, high], axis=1),
+                           ((0, 0), (0, ypad)))
 
         def local_fn(lu_b, hr_b, met_b, plane_b, lx_b, tw_b, carry):
             lu_l = lu_b[0, 0]
@@ -346,15 +357,17 @@ class FusedSharded2DModel:
             if self.tile_guard:
                 kw["tile_wet"] = tw_b[0, 0]
 
+            yl = self.yl
+
             def one(c, _):
                 margined = tuple(exchange(f, lxl) for f in c)
                 outs = self.step_raw(lu_l, hr_l, met_l, *extra,
                                      *margined, **kw)
-                return tuple(o[M:-M, M:-M] for o in outs), None
+                return tuple(o[M:-M, M:M + yl] for o in outs), None
 
             carry, _ = lax.scan(one, tuple(carry), None,
                                 length=n_inner // spc)
-            okl = swk.check_ssh_ok(jnp.pad(lu_l[M:-M, M:-M], 2),
+            okl = swk.check_ssh_ok(jnp.pad(lu_l[M:-M, M:M + yl], 2),
                                    jnp.pad(carry[0], 2))
             ok = lax.psum(okl.astype(jnp.int32), ("x", "y")) == px * py
             return carry, ok

@@ -71,8 +71,14 @@ class FusedLayout(NamedTuple):
 
 
 def make_layout(nx: int, ny: int, tx: int = 64) -> FusedLayout:
+    """Ys is rounded up to a multiple of 128 (the lane width): lane rolls
+    modulo a non-128-multiple force misaligned cross-vreg shuffles that
+    cost ~6.6 ALU-equivalents each vs ~2.5 aligned (chip-measured,
+    scripts/vpu_shift_probe.py) — the extra columns are dead land and
+    cost only ~3% more streamed bytes."""
     X = -(-nx // tx) * tx
-    return FusedLayout(nx, ny, X, X + 2 * MARGIN, ny + 2 * YPAD, tx)
+    Ys = -(-(ny + 2 * YPAD) // 128) * 128
+    return FusedLayout(nx, ny, X, X + 2 * MARGIN, Ys, tx)
 
 
 def embed(lay: FusedLayout, a) -> jnp.ndarray:
