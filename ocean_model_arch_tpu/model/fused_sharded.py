@@ -51,9 +51,11 @@ class FusedShardedSWModel:
         xl = -(-grid.nx // (n_devices * tx)) * tx
         self.xl = xl
         self.Xg = xl * n_devices                 # global domain rows
+        # lane extent 128-aligned like make_layout (misaligned lane
+        # rolls cost ~2.6x; the pad lanes are dead land)
         self.lay = fsk.FusedLayout(
             nx=grid.nx, ny=grid.ny, X=xl, Xs=xl + 2 * M,
-            Ys=grid.ny + 2 * fsk.YPAD, tx=tx)
+            Ys=-(-(grid.ny + 2 * fsk.YPAD) // 128) * 128, tx=tx)
 
         met = fsk.metrics_profile_from_grid(grid, self.lay)
         self.met = jnp.asarray(met)
