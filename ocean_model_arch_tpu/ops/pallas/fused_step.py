@@ -49,14 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.constants import FREE_FALL_ACC
 
 MARGIN = 8          # x margin rows (= 2 steps x reach 4; 8-aligned windows)
-# Kernel graph mode. 0 (default): per-stage halo shaving via x-slices —
-# fastest runtime but the shape diversity makes Mosaic compiles take
-# minutes (one-time, persistently cached). 1: every stage at the full
-# window with roll-shifts — compiles in seconds but sublane rolls cost
-# ~2.5x runtime. Flip via OCEAN_FUSED_UNIFORM_SHAPES=1 for fast
-# iteration on new kernel variants.
+# Kernel graph mode. 1 (default): every stage at the full window with
+# roll-shifts — ONE shape for the whole graph. With the 128-aligned lane
+# extent this is both the fastest on-chip (14.3 vs 13.0 Gpts/s at tx=64:
+# Mosaic handles uniform rolls better than the sliced graph's shape
+# diversity) and compiles ~10x faster. 0: per-stage halo shaving via
+# x-slices (the historical mode; re-probe after major Mosaic updates via
+# OCEAN_FUSED_UNIFORM_SHAPES=0).
 UNIFORM_SHAPES = bool(int(
-    __import__("os").environ.get("OCEAN_FUSED_UNIFORM_SHAPES", "0")))
+    __import__("os").environ.get("OCEAN_FUSED_UNIFORM_SHAPES", "1")))
 YPAD = 2            # extra land columns each side in y
 N_PROF = 24         # profile rows (9 metrics + 7 reciprocals + 6 derived)
 

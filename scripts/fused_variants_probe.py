@@ -82,6 +82,11 @@ VARIANTS = {
                       vmem=100 * 1024 * 1024),
     "plain64x2": dict(tx=64, trans=1, static_rslu=False, steps_per_call=2,
                       vmem=64 * 1024 * 1024),
+    "rslu256": dict(tx=256, trans=1, static_rslu=True,
+                    vmem=100 * 1024 * 1024),
+    "rslu512": dict(tx=512, trans=1, static_rslu=True,
+                    vmem=110 * 1024 * 1024),
+    "rslu_notrans": dict(tx=64, trans=0, static_rslu=True),
 }
 
 
