@@ -382,6 +382,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # products plus four differences. Masks are static
                 # planes; every 0.25 folds into one end-of-chain scaling.
                 wluu2f = SP("wluu", h2)
+                # rows 16-18 carry the advection 1/4 (folded at build),
+                # so vort/H2/M2 arrive pre-scaled like the MT21-folded
+                # Coriolis terms — which lets the Coriolis pair MERGE
+                # into the advection tail below
                 vort2 = ((v_x1_2 - v_c) * MT(16, h2)
                          - u_y1_2 * MT(17, h2)
                          + u_c * MT(18, h2)) * wluu2f
@@ -392,23 +396,38 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 vd2 = sl(vflux3, h3, h2)
                 vd2x = sl(vflux3, h3, h2, 1, 0)
                 vd2y = sl(vflux3, h3, h2, 0, 1)
-                # telescoped edge fluxes (see the non-fast branch); the
-                # 1/4 moves to the rx/ry tail, the luu mask is static
-                F2 = (ud2 + ud2x) * (u_c + u_x1_2)
-                G2 = (vd2 + vd2x) * (s2u * wluu2f)
-                K2 = (vd2 + vd2y) * (v_c + v_y1_2)
-                L2 = (ud2 + ud2y) * s2v
+                # telescoped edge fluxes (see the non-fast branch), each
+                # pre-scaled by 1/4 on its F/G/K/L-private factor; the
+                # luu mask is static
+                F2 = (ud2 + ud2x) * ((u_c + u_x1_2) * 0.25)
+                G2 = ((vd2 + vd2x) * 0.25) * (s2u * wluu2f)
+                K2 = (vd2 + vd2y) * ((v_c + v_y1_2) * 0.25)
+                L2 = ((ud2 + ud2y) * 0.25) * s2v
                 H2 = vorth2 * s2v
                 M2 = vorth2 * s2u
-                # the wlcu/wlcv selects are redundant (un1/vn1 re-select)
-                rx_adv1 = ((sl(H2, h2, h1) + sl(H2, h2, h1, 0, -1))
-                           - (sl(F2, h2, h1) - sl(F2, h2, h1, -1, 0))
-                           - (sl(G2, h2, h1) - sl(G2, h2, h1, 0, -1))) \
-                    * 0.25
-                ry_adv1 = (-(sl(M2, h2, h1) + sl(M2, h2, h1, -1, 0))
-                           - (sl(L2, h2, h1) - sl(L2, h2, h1, -1, 0))
-                           - (sl(K2, h2, h1) - sl(K2, h2, h1, 0, -1))) \
-                    * 0.25
+                # Coriolis (MT21 = rlh*dxb*dyb/4) merges with the
+                # advection tail: all terms sharing a shift collapse into
+                # ONE rolled array — lane/sublane rolls cost ~2.4x an ALU
+                # op (scripts/vpu_shift_probe.py), so
+                #   rx_adv + cpair_x = Px - F2 - G2 + (Px+G2)(n-1)
+                #                      + F2(m-1)
+                # with Px = H2 + C2v does the work of 4 rolls in 2.
+                # The wlcu/wlcv selects are redundant (un1/vn1 re-select).
+                corio2 = MT(21, h2) * sl(hh3, h3, h2)
+                C2v = corio2 * s2v
+                C2u = corio2 * s2u
+                Px = H2 + C2v
+                Rx = Px + G2
+                acx1 = (sl(Px, h2, h1) - sl(F2, h2, h1)
+                        - sl(G2, h2, h1)
+                        + sl(Rx, h2, h1, 0, -1)
+                        + sl(F2, h2, h1, -1, 0))
+                Ty = M2 + C2u
+                Sy = L2 - Ty
+                acy1 = (-sl(Ty, h2, h1) - sl(L2, h2, h1)
+                        - sl(K2, h2, h1)
+                        + sl(Sy, h2, h1, -1, 0)
+                        + sl(K2, h2, h1, 0, -1))
             elif trans:
                 wluu2 = WLUU(h2)
                 vd_t = sl(v8, hb, h3) * MT(3, h3)     # v*dyt at h3
@@ -552,27 +571,28 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # ---- momentum update at halo 1 (sw_update_uv) ----
             hu1 = sl(hu3, h3, h1)
             hv1 = sl(hv3, h3, h1)
-            if fast:
-                # profile row 21 = rlh_s*dxb*dyb*0.25 — the Coriolis 1/4
-                # folds into the precomputed profile
-                corio2 = MT(21, h2) * sl(hh3, h3, h2)
-            else:
-                corio2 = (MT(8, h2) * MT(6, h2) * MT(7, h2)) \
-                    * sl(hh3, h3, h2)
             ssh_c2 = sl(ssh8, hb, h2)
             up1 = sl(up8, hb, h1)
             vp1 = sl(vp8, hb, h1)
 
-            # Coriolis double-terms telescope like the advection ones:
-            # C2v(n-1) / C2u(m-1) are the second summands
-            C2v = corio2 * s2v
-            C2u = corio2 * s2u
-
-            cpair_x = sl(C2v, h2, h1) + sl(C2v, h2, h1, 0, -1)
-            cpair_y = sl(C2u, h2, h1) + sl(C2u, h2, h1, -1, 0)
-            if not fast:
-                cpair_x = cpair_x * 0.25
-                cpair_y = cpair_y * 0.25
+            if not (fast and trans):
+                # Coriolis double-terms telescope like the advection
+                # ones: C2v(n-1) / C2u(m-1) are the second summands.
+                # (In the fast+trans path these merged into acx1/acy1.)
+                if fast:
+                    # row 21 = rlh_s*dxb*dyb*0.25 — the 1/4 folds into
+                    # the precomputed profile
+                    corio2 = MT(21, h2) * sl(hh3, h3, h2)
+                else:
+                    corio2 = (MT(8, h2) * MT(6, h2) * MT(7, h2)) \
+                        * sl(hh3, h3, h2)
+                C2v = corio2 * s2v
+                C2u = corio2 * s2u
+                cpair_x = sl(C2v, h2, h1) + sl(C2v, h2, h1, 0, -1)
+                cpair_y = sl(C2u, h2, h1) + sl(C2u, h2, h1, -1, 0)
+                if not fast:
+                    cpair_x = cpair_x * 0.25
+                    cpair_y = cpair_y * 0.25
 
             if fast:
                 # hu/hv carry dyh/dxh already; the 0-division at all-land
@@ -584,14 +604,18 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # component; 2tau/dxt is a (1, Ys) row.
                 slx = (sl(ssh_c2, h2, h1, 1, 0) - sl(ssh_c2, h2, h1)) \
                     * hu1 * (-g)
-                grx = slx + rx_dif1 + rx_adv1 + cpair_x
+                sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
+                    * hv1 * (-g)
+                if trans:
+                    grx = slx + rx_dif1 + acx1
+                    gry = sly + ry_dif1 + acy1
+                else:
+                    grx = slx + rx_dif1 + cpair_x
+                    gry = sly + ry_dif1 - cpair_y
                 un1 = jnp.where(
                     wlcu1,
                     (up1 * hup1 + grx * ((2.0 * tau) * MT(10, h1))) / hu1,
                     0.0)
-                sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
-                    * hv1 * (-g)
-                gry = sly + ry_dif1 + ry_adv1 - cpair_y
                 vn1 = jnp.where(
                     wlcv1,
                     (vp1 * hvp1 + gry * ((2.0 * tau) * MT(11, h1))) / hv1,
@@ -970,11 +994,14 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
         for k, src in ((10, 2), (11, 3), (12, 4), (13, 5), (14, 6),
                        (15, 7)):
             rows[k] = np.float32(1.0) / rows[src]
-        # rows 16-21 (fast mode): vorticity metric differences, stress
-        # ratios, and the 0.25-folded Coriolis product
-        rows[16] = rows[3] - rows[7]                      # dyt - dyb
-        rows[17] = np.concatenate([rows[2][1:], rows[2][-1:]]) - rows[6]
-        rows[18] = rows[2] - rows[6]                      # dxt - dxb
+        # rows 16-21 (fast mode): vorticity metric differences (carrying
+        # the advection 1/4 so vort/H2/M2 arrive pre-scaled and merge
+        # with the MT21-folded Coriolis terms), stress ratios, and the
+        # 0.25-folded Coriolis product
+        rows[16] = (rows[3] - rows[7]) * np.float32(0.25)  # (dyt-dyb)/4
+        rows[17] = (np.concatenate([rows[2][1:], rows[2][-1:]])
+                    - rows[6]) * np.float32(0.25)
+        rows[18] = (rows[2] - rows[6]) * np.float32(0.25)  # (dxt-dxb)/4
         rows[19] = rows[1] / rows[0]                      # dy/dx
         rows[20] = rows[0] / rows[1]                      # dx/dy
         rows[21] = rows[8] * rows[6] * rows[7] * np.float32(0.25)
