@@ -69,10 +69,12 @@ def main(workload: str = "default"):
     n_inner = 2000
     if fused_available(grid, cfg):
         # static_rslu enables the fast kernel (static mask planes,
-        # profile-restructured vorticity, folded constants); tx=64
-        # measured fastest with it (10.1 vs 9.7 Gpts/s at tx=128,
-        # scripts/fused_variants_probe)
-        fm = FusedSWModel(grid, cfg, 1.0, tx=64, static_rslu=True)
+        # profile-restructured vorticity, folded constants); tx=64 is
+        # the measured sweet spot (32/96/128/256 all slower) and
+        # steps_per_call=2 chains two model steps per kernel launch,
+        # halving streamed passes (scripts/fused_variants_probe)
+        fm = FusedSWModel(grid, cfg, 1.0, tx=64, static_rslu=True,
+                          steps_per_call=2)
         carry = fm.pack(state)
 
         @jax.jit

@@ -221,10 +221,15 @@ class OceanModel:
             return self._fused_sharded_runner(self._fused_per, n_inner)
         if self._use_fused():
             from .fused import FusedSWModel
-            if not hasattr(self, "_fused"):
+            # chained 2-steps-per-launch halves streamed passes; odd
+            # batch sizes fall back to 1 step per launch
+            spc = 2 if n_inner % 2 == 0 else 1
+            if getattr(self, "_fused_spc", None) != spc:
                 self._fused = FusedSWModel(self.grid, self.cfg, tau,
                                            static_rslu=True,
-                                           mu_const=self.state_mu_const())
+                                           mu_const=self.state_mu_const(),
+                                           steps_per_call=spc)
+                self._fused_spc = spc
             # never silently drop physics: the kernel's compiled-in mu
             # must match the state it will advance
             self._fused.validate_state(self.state)

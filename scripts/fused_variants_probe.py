@@ -87,6 +87,8 @@ VARIANTS = {
     "rslu512": dict(tx=512, trans=1, static_rslu=True,
                     vmem=110 * 1024 * 1024),
     "rslu_notrans": dict(tx=64, trans=0, static_rslu=True),
+    "rslu32": dict(tx=32, trans=1, static_rslu=True),
+    "rslu96": dict(tx=96, trans=1, static_rslu=True, vmem=64 * 1024 * 1024),
 }
 
 
