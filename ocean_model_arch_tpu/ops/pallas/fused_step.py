@@ -108,11 +108,15 @@ def plane_names(ffs: int, ksw: int, mu_const: float,
     unused plane is streamed per tile:
 
     - ``rslu_u/v/h``: reciprocal wet-neighbor counts of the depth
-      interpolations (1/max(#wet,1)) — replace in-kernel select chains;
+      interpolations (1/max(#wet,1)), premultiplied by the interp metric
+      rows — they replace in-kernel select chains, and they ENCODE the
+      staggered wet masks: wlcu <=> rslu_u == 0.5/dxt (both neighbours
+      wet), wluu <=> rslu_h == 0.25/(dxb*dyb) (all four wet), so the
+      kernel derives wlcu/wlcv/wluu by comparing against scaled profile
+      rows instead of streaming three extra mask planes;
     - ``ludxdy`` = lu*dx*dy and ``hrludxdy`` = hhq_rest*lu*dx*dy — the
       weighted depth columns' static factors (ludxdy > 0.5 doubles as the
       wlu wet mask: metric products are >> 1 m^2 on every config);
-    - ``wlcu/wlcv/wluu``: staggered wet masks as f32 0/1 planes;
     - ``wlu``: only the viscosity branch multiplies by it.
 
     With 2D metrics (bipolar grids) the fast restructurings are off and
@@ -120,8 +124,7 @@ def plane_names(ffs: int, ksw: int, mu_const: float,
     """
     if metrics_2d:
         return ("rslu_u", "rslu_v", "rslu_h")
-    names = ["rslu_u", "rslu_v", "rslu_h", "ludxdy", "wlcu", "wlcv",
-             "wluu", "hrludxdy"]
+    names = ["rslu_u", "rslu_v", "rslu_h", "ludxdy", "hrludxdy"]
     if ksw and mu_const != 0.0:
         names.append("wlu")
     return tuple(names)
@@ -364,8 +367,24 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 v_x1_2 = sl(v8, hb, h2, 1, 0)
                 s2u = u_y1_2 + u_c             # shared: G2/M2/Coriolis
                 s2v = v_x1_2 + v_c             # shared: L2/H2/Coriolis
-                wlcu1 = SP("wlcu", h1) > 0.5
-                wlcv1 = SP("wlcv", h1) > 0.5
+
+                # the staggered wet masks are ENCODED in the rslu planes
+                # (see plane_names): both-wet <=> reciprocal 1/2, all-
+                # four-wet <=> 1/4; the thresholds ride the same metric
+                # rows the planes were premultiplied with, so a compare
+                # against a scaled (1, Ys) row replaces a streamed plane
+                def WLCU_f(h):
+                    return SP("rslu_u", h) < 0.75 * MT(10, h)
+
+                def WLCV_f(h):
+                    return SP("rslu_v", h) < 0.75 * MT(11, h)
+
+                def WLUU_f(h):
+                    return SP("rslu_h", h) \
+                        < 0.29 * (MT(14, h) * MT(15, h))
+
+                wlcu1 = WLCU_f(h1)
+                wlcv1 = WLCV_f(h1)
             else:
                 wlcu1 = WLCU(h1)
                 wlcv1 = WLCV(h1)
@@ -381,14 +400,16 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # — 3 muls off the state instead of the vd_t/ud_t halo-3
                 # products plus four differences. Masks are static
                 # planes; every 0.25 folds into one end-of-chain scaling.
-                wluu2f = SP("wluu", h2)
+                wluu_b2 = WLUU_f(h2)
                 # rows 16-18 carry the advection 1/4 (folded at build),
                 # so vort/H2/M2 arrive pre-scaled like the MT21-folded
                 # Coriolis terms — which lets the Coriolis pair MERGE
                 # into the advection tail below
-                vort2 = ((v_x1_2 - v_c) * MT(16, h2)
-                         - u_y1_2 * MT(17, h2)
-                         + u_c * MT(18, h2)) * wluu2f
+                vort2 = jnp.where(
+                    wluu_b2,
+                    (v_x1_2 - v_c) * MT(16, h2)
+                    - u_y1_2 * MT(17, h2)
+                    + u_c * MT(18, h2), 0.0)
                 vorth2 = vort2 * sl(hh3, h3, h2)
                 ud2 = sl(uflux3, h3, h2)
                 ud2x = sl(uflux3, h3, h2, 1, 0)
@@ -400,7 +421,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # pre-scaled by 1/4 on its F/G/K/L-private factor; the
                 # luu mask is static
                 F2 = (ud2 + ud2x) * ((u_c + u_x1_2) * 0.25)
-                G2 = ((vd2 + vd2x) * 0.25) * (s2u * wluu2f)
+                G2 = ((vd2 + vd2x) * 0.25) * jnp.where(wluu_b2, s2u, 0.0)
                 K2 = (vd2 + vd2y) * ((v_c + v_y1_2) * 0.25)
                 L2 = ((ud2 + ud2y) * 0.25) * s2v
                 H2 = vorth2 * s2v
@@ -503,11 +524,12 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     * SP("wlu", h2)
                 s1 = sl(up8, hb, h3) * MT(10, h3)
                 s2 = sl(vp8, hb, h3) * MT(11, h3)
-                str_s2 = ((MT(6, h2) * MT(15, h2))
-                          * (sl(s1, h3, h2, 0, 1) - sl(s1, h3, h2))
-                          + (MT(7, h2) * MT(14, h2))
-                          * (sl(s2, h3, h2, 1, 0) - sl(s2, h3, h2))) \
-                    * SP("wluu", h2)
+                str_s2 = jnp.where(
+                    WLUU_f(h2),
+                    (MT(6, h2) * MT(15, h2))
+                    * (sl(s1, h3, h2, 0, 1) - sl(s1, h3, h2))
+                    + (MT(7, h2) * MT(14, h2))
+                    * (sl(s2, h3, h2, 1, 0) - sl(s2, h3, h2)), 0.0)
                 hq2 = sl(hr8, M, h2) + sl(ssh8, hb, h2) * float(ffs)
                 t2 = hq2 * str_t2
                 a2 = (MT(1, h2) * MT(1, h2) * mu_const) * t2
@@ -645,8 +667,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # ---- leapfrog rotation + filter (sw_next_step) ----
             if fast:
                 wlu0 = SP("ludxdy", ho) > 0.5
-                wlcu0 = SP("wlcu", ho) > 0.5
-                wlcv0 = SP("wlcv", ho) > 0.5
+                wlcu0 = WLCU_f(ho)
+                wlcv0 = WLCV_f(ho)
             else:
                 wlu0 = LU(ho) > 0.5
                 wlcu0 = WLCU(ho)
@@ -700,14 +722,15 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 v_new1 = jnp.where(wlcv1, vn1, sl(v8, hb, h1))
 
                 if fast:
-                    # flux masks as 0/1 static-plane multiplies, hoisted
-                    # onto the tracer-independent transport products
-                    uh1 = (u_new1 * hun1) * SP("wlcu", h1)
-                    vh1 = (v_new1 * hvn1) * SP("wlcv", h1)
+                    # flux masks hoisted onto the tracer-independent
+                    # transport products (wlcu1/wlcv1 are the derived
+                    # rslu-encoded masks, already at h1)
+                    uh1 = jnp.where(wlcu1, u_new1 * hun1, 0.0)
+                    vh1 = jnp.where(wlcv1, v_new1 * hvn1, 0.0)
                     diffusive = mu_const != 0.0
                     if diffusive:
-                        hun1m = hun1 * SP("wlcu", h1)
-                        hvn1m = hvn1 * SP("wlcv", h1)
+                        hun1m = jnp.where(wlcu1, hun1, 0.0)
+                        hvn1m = jnp.where(wlcv1, hvn1, 0.0)
                 for t in range(n_tracers):
                     ff8 = tracers[2 * t]
                     ffp8 = tracers[2 * t + 1]
