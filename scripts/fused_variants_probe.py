@@ -89,6 +89,10 @@ VARIANTS = {
     "rslu_notrans": dict(tx=64, trans=0, static_rslu=True),
     "rslu32": dict(tx=32, trans=1, static_rslu=True),
     "rslu96": dict(tx=96, trans=1, static_rslu=True, vmem=64 * 1024 * 1024),
+    "rslu128x2b": dict(tx=128, trans=1, static_rslu=True, steps_per_call=2,
+                       vmem=100 * 1024 * 1024),
+    "rslu32x2": dict(tx=32, trans=1, static_rslu=True, steps_per_call=2,
+                     vmem=48 * 1024 * 1024),
 }
 
 
