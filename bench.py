@@ -19,9 +19,11 @@ envelope.
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
 reports the speedup over the baseline implementation: the straightforward
 XLA-fused jnp composition of the reference's 11 kernels (1.31e9
-points/s/chip on this config). The fused step's HBM roofline is 14.6
-Gpts/s (14 f32 passes * 4 B at ~819 GB/s); the kernel is VPU-bound at
-~50% of it.
+points/s/chip on this config). The working set stays VMEM-resident across
+scan iterations (the copy-through probe for this tiling runs at 47.8
+Gpts/s, scripts/roofline_probe.py), so HBM is NOT the wall: the kernel is
+VPU-bound, and chaining steps_per_call model steps per launch amortizes
+the static-plane streaming. Round-2 default (tx=64, spc=2): 17.3 Gpts/s.
 """
 
 import json
@@ -53,8 +55,9 @@ def main(workload: str = "default"):
                       precision=prec)
     if workload == "azov_mask":
         # the reference's ACTUAL shipped workload: same extents with the
-        # real Azov Sea coastline (data/AS/maskAzovCor.txt, 58.9% wet) —
-        # reports wet-points/s, the honest throughput on realistic masks
+        # real Azov Sea coastline (data/AS/maskAzovCor.txt, 41.1% wet —
+        # mask files are 1=land, 0=water) — reports wet-points/s, the
+        # honest throughput on realistic masks
         from ocean_model_arch_tpu.io.mask_io import read_mask
         int_mask = read_mask("data/AS/maskAzovCor.txt", basin.nx, basin.ny)
     else:
