@@ -38,7 +38,9 @@ class FusedSWModel:
         self.tau = float(tau)
         self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
                           else 0)
-        self.lay = fsk.make_layout(grid.nx, grid.ny, tx)
+        self.lay = fsk.make_layout(grid.nx, grid.ny, tx,
+                                   steps_per_call=steps_per_call)
+        m = self.lay.margin
         # x-uniform metrics ride as latitude profiles (free broadcast);
         # bipolar/curvilinear grids stream full (16, Xs, Ys) planes
         try:
@@ -48,10 +50,10 @@ class FusedSWModel:
             met = fsk.metrics_full_from_grid(grid, self.lay)
             self.metrics_2d = True
         lu_s = np.zeros((self.lay.Xs, self.lay.Ys), np.float32)
-        lu_s[fsk.MARGIN:fsk.MARGIN + grid.nx,
+        lu_s[m:m + grid.nx,
              fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.lu)
         hr_s = np.zeros_like(lu_s)
-        hr_s[fsk.MARGIN:fsk.MARGIN + grid.nx,
+        hr_s[m:m + grid.nx,
              fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.hhq_rest)
         # mu is spatially constant in the reference (the init quirk zeroes
         # it, init_data.f90:76-77); a nonzero constant enables the fused
@@ -80,7 +82,7 @@ class FusedSWModel:
             # on all-wet basins the guard is pure overhead
             n_tiles = self.lay.X // tx
             tile_guard = any(
-                not (lu_s[fsk.MARGIN + i * tx: fsk.MARGIN + (i + 1) * tx]
+                not (lu_s[m + i * tx: m + (i + 1) * tx]
                      > 0.5).any() for i in range(n_tiles))
         self.tile_guard = bool(tile_guard)
         self.step6 = fsk.build_fused_sw_step(
@@ -146,19 +148,26 @@ class FusedSWModel:
 
     # -- running ---------------------------------------------------------
     def run_steps(self, s6, n_steps: int):
-        """Scan the fused step; returns (s6', ok) — ok is the stability
-        guard on the final ssh (check_ssh_err analog). ``n_steps`` must
-        be a multiple of ``steps_per_call``."""
+        """Scan the fused step; returns (s6', ok). ``ok`` accumulates the
+        kernel's in-VMEM per-step |ssh| max through the scan carry, so the
+        guard cadence matches the reference's every-step check_ssh_err
+        (vel_ssh.f90:40-67) — a transient blowup at ANY chained step of
+        any window trips it. ``n_steps`` must be a multiple of
+        ``steps_per_call``."""
         spc = self.steps_per_call
         if n_steps % spc:
             raise ValueError(f"n_steps={n_steps} not a multiple of "
                              f"steps_per_call={spc}")
 
         def body(c, _):
-            return self.step6(*c), None
+            fields, mx = c
+            fields, tmax = self.step6(*fields)
+            return (fields, jnp.maximum(mx, jnp.max(tmax))), None
 
-        s6, _ = jax.lax.scan(body, tuple(s6), None, length=n_steps // spc)
-        ok = swk.check_ssh_ok(jnp.pad(self._lu_s, 2), jnp.pad(s6[0], 2))
+        (s6, mx), _ = jax.lax.scan(
+            body, (tuple(s6), jnp.zeros((), jnp.float32)), None,
+            length=n_steps // spc)
+        ok = mx < swk.SSH_ERR_BOUND        # NaN compares False
         return s6, ok
 
 

@@ -117,13 +117,19 @@ class FusedShardedSWModel:
             hr_l = hr_b[0]
 
             def one(c, _):
-                margined = tuple(exchange(f) for f in c)
-                outs = self.step_raw(lu_l, hr_l, self.met, *margined)
-                return tuple(o[M:-M] for o in outs), None
+                fields, mx = c
+                margined = tuple(exchange(f) for f in fields)
+                outs, tmax = self.step_raw(lu_l, hr_l, self.met,
+                                           *margined)
+                return (tuple(o[M:-M] for o in outs),
+                        jnp.maximum(mx, jnp.max(tmax))), None
 
-            s6, _ = lax.scan(one, tuple(s6), None, length=n_inner)
-            okl = swk.check_ssh_ok(jnp.pad(lu_l[M:-M], 2),
-                                   jnp.pad(s6[0], 2))
+            (s6, mx), _ = lax.scan(
+                one, (tuple(s6), jnp.zeros((), jnp.float32)), None,
+                length=n_inner)
+            # per-step in-kernel |ssh| max (check_ssh_err cadence);
+            # NaN compares False
+            okl = mx < swk.SSH_ERR_BOUND
             ok = lax.psum(okl.astype(jnp.int32), "x") == n
             return s6, ok
 

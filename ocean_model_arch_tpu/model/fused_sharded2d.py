@@ -56,7 +56,6 @@ from ..ops import sw_kernels as swk
 from ..ops.pallas import fused_step as fsk
 from ..parallel.decomposition import weighted_x_edges
 
-M = fsk.MARGIN   # margin width in both axes
 
 
 class FusedSharded2DModel:
@@ -76,6 +75,10 @@ class FusedSharded2DModel:
 
         self.periodic_x = bool(grid.periodic_x)
         self.periodic_y = bool(grid.periodic_y)
+        # margin width in both axes: 4 cells of stencil reach per
+        # chained step (8-aligned), so deeper chaining widens the
+        # exchanged strips instead of adding exchanges
+        M = self.M = fsk.margin_for(steps_per_call)
         self.weighted = bool(weighted) and px > 1
         yl = -(-grid.ny // py)
         if self.weighted:
@@ -111,7 +114,8 @@ class FusedSharded2DModel:
         Ysp = -(-(yl + 2 * M) // 128) * 128
         self.Ysp = Ysp
         self.lay = fsk.FusedLayout(nx=grid.nx, ny=grid.ny, X=Xpad,
-                                   Xs=Xpad + 2 * M, Ys=Ysp, tx=tx)
+                                   Xs=Xpad + 2 * M, Ys=Ysp, tx=tx,
+                                   margin=M)
         n_tiles = Xpad // tx
 
         # ---- global -> per-shard margined statics -----------------------
@@ -221,7 +225,7 @@ class FusedSharded2DModel:
             interpret=interpret, metrics_2d=self.metrics_2d,
             rslu_planes=(True if self.static_rslu else None),
             steps_per_call=self.steps_per_call,
-            tile_guard=self.tile_guard)
+            tile_guard=self.tile_guard, guard_y_margin=True)
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:
@@ -236,6 +240,7 @@ class FusedSharded2DModel:
         """(16, Eg+2M, Yg+2M) full metric planes for the 2D-metrics
         sharded path; physical edges replicated (or wrapped on periodic
         axes) so reciprocals stay finite."""
+        M = self.M
         names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb",
                  "rlh_s"]
         planes = np.zeros((16, self.Eg + 2 * M, self.Yg + 2 * M),
@@ -293,6 +298,7 @@ class FusedSharded2DModel:
 
     # ------------------------------------------------------------------
     def make_runner(self, n_inner: int):
+        M = self.M
         px, py = self.px, self.py
         spc = self.steps_per_call
         if n_inner % spc:
@@ -360,15 +366,19 @@ class FusedSharded2DModel:
             yl = self.yl
 
             def one(c, _):
-                margined = tuple(exchange(f, lxl) for f in c)
-                outs = self.step_raw(lu_l, hr_l, met_l, *extra,
-                                     *margined, **kw)
-                return tuple(o[M:-M, M:M + yl] for o in outs), None
+                fields, mx = c
+                margined = tuple(exchange(f, lxl) for f in fields)
+                outs, tmax = self.step_raw(lu_l, hr_l, met_l, *extra,
+                                           *margined, **kw)
+                return (tuple(o[M:-M, M:M + yl] for o in outs),
+                        jnp.maximum(mx, jnp.max(tmax))), None
 
-            carry, _ = lax.scan(one, tuple(carry), None,
-                                length=n_inner // spc)
-            okl = swk.check_ssh_ok(jnp.pad(lu_l[M:-M, M:M + yl], 2),
-                                   jnp.pad(carry[0], 2))
+            (carry, mx), _ = lax.scan(
+                one, (tuple(carry), jnp.zeros((), jnp.float32)), None,
+                length=n_inner // spc)
+            # per-step in-kernel |ssh| max (check_ssh_err cadence);
+            # NaN compares False
+            okl = mx < swk.SSH_ERR_BOUND
             ok = lax.psum(okl.astype(jnp.int32), ("x", "y")) == px * py
             return carry, ok
 

@@ -48,7 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.constants import FREE_FALL_ACC
 
-MARGIN = 8          # x margin rows (= 2 steps x reach 4; 8-aligned windows)
+MARGIN = 8          # default x margin rows (2 steps x reach 4; 8-aligned)
+
+
+def margin_for(steps_per_call: int) -> int:
+    """Margin width for a chaining depth: 4 cells of stencil reach per
+    chained step, rounded up to the 8-row sublane alignment Element
+    windows want (min 8)."""
+    return max(8, -(-4 * int(steps_per_call) // 8) * 8)
 # Kernel graph mode. 1 (default): every stage at the full window with
 # roll-shifts — ONE shape for the whole graph. With the 128-aligned lane
 # extent this is both the fastest on-chip (14.3 vs 13.0 Gpts/s at tx=64:
@@ -66,12 +73,14 @@ class FusedLayout(NamedTuple):
     nx: int          # physical extents
     ny: int
     X: int           # domain rows (multiple of tile)
-    Xs: int          # stored rows = X + 2*MARGIN
+    Xs: int          # stored rows = X + 2*margin
     Ys: int          # stored cols = ny + 2*YPAD
     tx: int          # tile rows
+    margin: int = MARGIN   # x margin rows (>= 4 * steps_per_call)
 
 
-def make_layout(nx: int, ny: int, tx: int = 64) -> FusedLayout:
+def make_layout(nx: int, ny: int, tx: int = 64,
+                steps_per_call: int = 1) -> FusedLayout:
     """Ys is rounded up to a multiple of 128 (the lane width): lane rolls
     modulo a non-128-multiple force misaligned cross-vreg shuffles that
     cost ~6.6 ALU-equivalents each vs ~2.5 aligned (chip-measured,
@@ -79,20 +88,21 @@ def make_layout(nx: int, ny: int, tx: int = 64) -> FusedLayout:
     cost only ~3% more streamed bytes."""
     X = -(-nx // tx) * tx
     Ys = -(-(ny + 2 * YPAD) // 128) * 128
-    return FusedLayout(nx, ny, X, X + 2 * MARGIN, Ys, tx)
+    m = margin_for(steps_per_call)
+    return FusedLayout(nx, ny, X, X + 2 * m, Ys, tx, m)
 
 
 def embed(lay: FusedLayout, a) -> jnp.ndarray:
     """Place an (nx, ny) field into the fused (Xs, Ys) layout (zeros
     elsewhere — land)."""
     out = jnp.zeros((lay.Xs, lay.Ys), jnp.float32)
-    return out.at[MARGIN:MARGIN + lay.nx,
+    return out.at[lay.margin:lay.margin + lay.nx,
                   YPAD:YPAD + lay.ny].set(jnp.asarray(a, jnp.float32))
 
 
 def extract(lay: FusedLayout, a) -> jnp.ndarray:
     """Crop back to the physical (nx, ny) extents."""
-    return a[MARGIN:MARGIN + lay.nx, YPAD:YPAD + lay.ny]
+    return a[lay.margin:lay.margin + lay.nx, YPAD:YPAD + lay.ny]
 
 
 def _roll_y(a, dn: int, ys: int):
@@ -135,8 +145,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  n_tracers: int = 0, metrics_2d: bool = False,
                  static_rslu: bool = False, steps_per_call: int = 1,
                  has_lu: bool = True, has_hr: bool = True,
-                 tile_guard: bool = False):
-    M = MARGIN
+                 tile_guard: bool = False, guard_y_margin: bool = False):
+    M = lay.margin
+    assert M >= 4 * steps_per_call, \
+        f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
     Ys = lay.Ys
     g = float(FREE_FALL_ACC)
     ts = float(time_smooth)
@@ -192,7 +204,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             planes_ref = refs[k]
             k += 1
         tr8 = [r[...] for r in refs[k:k + 2 * n_tracers]]  # ff_i, ffp_i
-        outs = refs[k + 2 * n_tracers:]
+        outs = refs[k + 2 * n_tracers:-1]
+        omax_ref = refs[-1]   # (8, 128) VMEM block: max |ssh|, this tile
 
         # Metric planes: 0 dx, 1 dy, 2 dxt, 3 dyt, 4 dxh, 5 dyh, 6 dxb,
         # 7 dyb, 8 rlh_s, 9 1/(dx*dy), 10-15 reciprocals of 2-7 (host-
@@ -788,18 +801,37 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     new_tracers.append(jnp.where(
                         wlu0, (1.0 - ts) * ff0 + ts2 * (ffn0 + ffp0),
                         ffp0))
-            return new_state, new_tracers
+
+            # ---- per-step stability reduction (check_ssh_err_kernel,
+            # vel_ssh.f90:40-67 — the reference checks EVERY step) ----
+            # max |ssh| over this tile's CENTER cells. Center regions
+            # alone tile the domain, so coverage is complete at every
+            # chained step; margin rows/lanes are excluded because they
+            # are duplicates of a neighbour tile/shard's center (checked
+            # there), land zeros, or — at the global edge — carried
+            # array rows the out specs never write (undefined).
+            sshx = ssh_new0
+            if uniform:
+                sshx = sshx[M:-M, :]
+            elif ho:
+                sshx = sshx[ho:-ho, :]     # rows at halo ho -> center
+            if guard_y_margin:
+                sshx = sshx[:, M:-M]
+            stepmax = jnp.max(jnp.abs(sshx))
+            return new_state, new_tracers, stepmax
 
         state = (ssh8, sshp8, u8, up8, v8, vp8)
         tracers = tr8
         hb = M
+        mx = jnp.zeros((), jnp.float32)
         for s in range(steps_per_call):
             # chained steps: step outputs at halo 4*(remaining steps)
             # stay exact (per-step reach <= 4; masked selects keep land
             # cells at exactly 0, so lane-roll wrap garbage never
             # reaches a wet cell)
             ho = 4 * (steps_per_call - 1 - s)
-            state, tracers = one_step(hb, ho, state, tracers)
+            state, tracers, stepmax = one_step(hb, ho, state, tracers)
+            mx = jnp.maximum(mx, stepmax)
             hb = ho
 
         if uniform:
@@ -808,6 +840,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             final = [*state, *tracers]
         for o, x in zip(outs, final):
             o[...] = x
+        omax_ref[...] = jnp.broadcast_to(mx, (8, 128))
 
     if not tile_guard:
         return kernel
@@ -819,7 +852,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         water. All-land (or all-pad) tiles skip the whole step and write
         exact zeros — the value land cells hold by construction."""
         n_out = 6 + 2 * n_tracers
-        outs = refs[len(refs) - n_out:]
+        outs = refs[len(refs) - n_out - 1:-1]
+        omax_ref = refs[-1]
         active = wet_ref[pl.program_id(0)] > 0
 
         @pl.when(active)
@@ -830,6 +864,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         def _():
             for o in outs:
                 o[...] = jnp.zeros(o.shape, o.dtype)
+            omax_ref[...] = jnp.zeros((8, 128), jnp.float32)
 
     return guarded
 
@@ -841,9 +876,16 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         vmem_limit_bytes: int | None = None,
                         metrics_2d: bool = False,
                         rslu_planes=None, steps_per_call: int = 1,
-                        tile_guard: bool = False):
+                        tile_guard: bool = False,
+                        guard_y_margin: bool = False):
     """Returns the fused step on fused-layout arrays; each call advances
-    ``steps_per_call`` model steps (see module docstring).
+    ``steps_per_call`` model steps (see module docstring). Every step
+    function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
+    the (n_tiles,) per-tile running max of |ssh| across ALL chained
+    steps — the per-step stability guard (check_ssh_err_kernel,
+    vel_ssh.f90:40-67), reduced in-VMEM so it costs no extra HBM pass.
+    ``guard_y_margin``: the layout has wet y-margins (2D-sharded driver)
+    whose wrap-contaminated lanes must be excluded from the reduction.
 
     With ``lu_s`` given: ``step(ssh, sshp, u, up, v, vp, *tracers)`` where
     tracers = ff_0, ffp_0, ff_1, ... With ``lu_s=None``: the raw form
@@ -861,7 +903,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     tracers the ``lu``/``hr`` arrays are not consumed by the kernel and
     are not streamed.
     """
-    M = MARGIN
+    M = lay.margin
     tx = lay.tx
     # raw (sharded) form: rslu_planes=True means the planes arrive as a
     # runtime argument of step_raw (per-shard margined blocks)
@@ -878,7 +920,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         static_rslu=static_rslu,
                         steps_per_call=steps_per_call,
                         has_lu=has_lu, has_hr=has_hr,
-                        tile_guard=tile_guard)
+                        tile_guard=tile_guard,
+                        guard_y_margin=guard_y_margin)
 
     n_tiles = lay.X // tx
 
@@ -928,7 +971,16 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     in_specs = ([in_spec() for _ in range(n_base + 6)] + [met_spec]
                 + rslu_specs
                 + [in_spec() for _ in range(2 * n_tracers)])
-    out_specs = [out_spec() for _ in range(n_out)]
+    # per-tile |ssh| max rides out as one broadcast (8, 128) VMEM block
+    # per tile (4 KB/tile — noise next to the field outputs; smaller
+    # blocks hit Mosaic's 8x128 block minimum, and rank-1 SMEM blocks
+    # its span-the-array restriction)
+    max_spec = pl.BlockSpec(
+        (pl.Element(8), pl.Element(128)),
+        lambda i, *_: (pl.multiple_of(i * 8, 8), 0),
+        memory_space=pltpu.VMEM)
+    max_shape = jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+    out_specs = [out_spec() for _ in range(n_out)] + [max_spec]
     if tile_guard:
         # per-tile wet flags ride as a scalar-prefetch SMEM plane; the
         # guarded kernel reads flag[program_id] before any tile work
@@ -939,7 +991,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                 grid=(n_tiles,),
                 in_specs=in_specs,
                 out_specs=out_specs),
-            out_shape=[shape] * n_out,
+            out_shape=[shape] * n_out + [max_shape],
             interpret=interpret,
             **extra,
         )
@@ -949,7 +1001,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[shape] * n_out,
+            out_shape=[shape] * n_out + [max_shape],
             interpret=interpret,
             **extra,
         )
@@ -963,15 +1015,17 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                          ssh, sshp, u, up, v, vp, *tracers,
                          tile_wet=None):
                 pre = (tile_wet,) if tile_guard else ()
-                return tuple(call(*pre, lu_a, hr_a, ssh, sshp, u, up, v,
-                                  vp, met_a, planes_a, *tracers))
+                res = call(*pre, lu_a, hr_a, ssh, sshp, u, up, v,
+                           vp, met_a, planes_a, *tracers)
+                return tuple(res[:-1]), res[-1]
             return step_raw
 
         def step_raw(lu_a, hr_a, met_a, ssh, sshp, u, up, v, vp, *tracers,
                      tile_wet=None):
             pre = (tile_wet,) if tile_guard else ()
-            return tuple(call(*pre, lu_a, hr_a, ssh, sshp, u, up, v, vp,
-                              met_a, *tracers))
+            res = call(*pre, lu_a, hr_a, ssh, sshp, u, up, v, vp,
+                       met_a, *tracers)
+            return tuple(res[:-1]), res[-1]
         return step_raw
 
     base = []
@@ -990,8 +1044,9 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         pre = (jnp.asarray(tw),)
 
     def step(ssh, sshp, u, up, v, vp, *tracers):
-        return tuple(call(*pre, *base, ssh, sshp, u, up, v, vp, met,
-                          *statics, *tracers))
+        res = call(*pre, *base, ssh, sshp, u, up, v, vp, met,
+                   *statics, *tracers)
+        return tuple(res[:-1]), res[-1]
 
     return step
 
@@ -1084,7 +1139,7 @@ def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:
     (bipolar / curvilinear grids, grid_parameters.f90:183 — metrics vary
     in both directions). Margins are edge-replicated so reciprocals stay
     finite; plane order matches :func:`metrics_profile_from_grid`."""
-    M = MARGIN
+    M = lay.margin
     planes = np.zeros((16, lay.Xs, lay.Ys), np.float32)
     names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb", "rlh_s"]
     for k, name in enumerate(names):

@@ -48,6 +48,9 @@ def gaussian_bump(lu, ssh, sigma: float, nx0: int, ny0: int):
     return jnp.where(wet(C(lu)), bump, C(ssh))
 
 
+SSH_ERR_BOUND = 1.0e4     # |ssh| abort threshold (vel_ssh.f90:52)
+
+
 def check_ssh_ok(lu, ssh):
     """Per-step stability guard (check_ssh_err_kernel, vel_ssh.f90:40-67).
 

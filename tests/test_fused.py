@@ -186,6 +186,33 @@ def test_fused_guard_trips():
     assert not bool(ok)
 
 
+def test_fused_guard_catches_mid_window_transient():
+    """The guard accumulates the kernel's per-step |ssh| max through the
+    scan carry (check_ssh_err cadence, vel_ssh.f90:40-67): an sshp spike
+    blows past the bound in the first few steps, then the Robert-Asselin
+    filter + gravity-wave spreading damp it BELOW the bound by the end
+    of the window — a final-state-only check would miss it."""
+    grid, cfg, state = _case(1, False)
+    bad = dataclasses.replace(state,
+                              sshp=state.sshp.at[30, 30].set(1.2e4))
+    fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2)
+    s6, ok = fm.run_steps(fm.pack(bad), 30)
+    final = np.abs(np.asarray(fm.unpack(s6, state).ssh)).max()
+    assert final < 1.0e4, "not a transient: final state still blown up"
+    assert not bool(ok), "per-step guard missed the mid-window transient"
+
+    # same through the 2D-sharded driver (per-shard kernel maxes psum'd)
+    from ocean_model_arch_tpu.model.fused_sharded2d import (
+        FusedSharded2DModel)
+    fs = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             steps_per_call=2)
+    _, ok2 = fs.make_runner(30)(fs.pack(bad))
+    assert not bool(ok2)
+    good, ok3 = fs.make_runner(30)(fs.pack(state))
+    assert bool(ok3), "guard tripped on a healthy run"
+
+
 @pytest.mark.parametrize("static_rslu,tracers",
                          [(True, 0), (False, 0), (True, 2)])
 def test_fused_two_steps_per_call_bitexact(static_rslu, tracers):
