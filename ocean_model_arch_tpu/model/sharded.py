@@ -74,7 +74,7 @@ def make_sharded_step(grid_p: Grid, cfg: ModelConfig, mesh: Mesh,
         return state, ok
 
     @jax.jit
-    def stepped(state, tau):
+    def stepped_impl(state, grid_arg, tau):
         specs = tree_specs(state)
         fn = jax.shard_map(
             lambda st, g, t: local_fn(st, g, t),
@@ -82,6 +82,12 @@ def make_sharded_step(grid_p: Grid, cfg: ModelConfig, mesh: Mesh,
             in_specs=(specs, gspecs, P()),
             out_specs=(specs, P()),
         )
-        return fn(state, grid_p, tau)
+        return fn(state, grid_arg, tau)
+
+    def stepped(state, tau):
+        # the grid rides as a jit ARGUMENT, not a closure: closing over
+        # arrays that span non-addressable devices is rejected in
+        # multi-process execution
+        return stepped_impl(state, grid_p, tau)
 
     return stepped

@@ -93,6 +93,17 @@ VARIANTS = {
                        vmem=100 * 1024 * 1024),
     "rslu32x2": dict(tx=32, trans=1, static_rslu=True, steps_per_call=2,
                      vmem=48 * 1024 * 1024),
+    # round 3: deeper chaining (margin 16) — streamed passes per step
+    # halve again vs x2; the margin-recompute overhead (1 + 2*16/tx)
+    # argues for larger tiles
+    "rslu64x4": dict(tx=64, trans=1, static_rslu=True, steps_per_call=4,
+                     vmem=80 * 1024 * 1024),
+    "rslu128x4": dict(tx=128, trans=1, static_rslu=True, steps_per_call=4,
+                      vmem=110 * 1024 * 1024),
+    "rslu256x4": dict(tx=256, trans=1, static_rslu=True, steps_per_call=4,
+                      vmem=120 * 1024 * 1024),
+    "rslu256x2": dict(tx=256, trans=1, static_rslu=True, steps_per_call=2,
+                      vmem=110 * 1024 * 1024),
 }
 
 
