@@ -30,7 +30,13 @@ class FusedSWModel:
                  vmem_limit_bytes: int | None = None,
                  mu_const: float = 0.0, static_rslu: bool = False,
                  steps_per_call: int = 1,
-                 tile_guard: bool | None = None):
+                 tile_guard: bool | None = None,
+                 ty: int | None = None, my: int = 128):
+        """``ty``: split the lane extent into (tx x ty) tiles with
+        my-lane margins so the wet guard elides land in BOTH axes —
+        worth it on realistic coastline masks (Azov: 35-45% of tiles are
+        all-land); on mostly-wet basins the margin recompute overhead
+        makes full-lane x-strips (ty=None) faster."""
         if grid.periodic_x or grid.periodic_y:
             raise ValueError("fused path: periodic boundaries unsupported")
         self.grid = grid
@@ -38,8 +44,13 @@ class FusedSWModel:
         self.tau = float(tau)
         self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
                           else 0)
-        self.lay = fsk.make_layout(grid.nx, grid.ny, tx,
-                                   steps_per_call=steps_per_call)
+        self.ty, self.my = ty, my
+        if ty is not None:
+            self.lay = fsk.make_layout_2d(grid.nx, grid.ny, tx, ty, my,
+                                          steps_per_call=steps_per_call)
+        else:
+            self.lay = fsk.make_layout(grid.nx, grid.ny, tx,
+                                       steps_per_call=steps_per_call)
         m = self.lay.margin
         # x-uniform metrics ride as latitude profiles (free broadcast);
         # bipolar/curvilinear grids stream full (16, Xs, Ys) planes
@@ -49,12 +60,11 @@ class FusedSWModel:
         except ValueError:
             met = fsk.metrics_full_from_grid(grid, self.lay)
             self.metrics_2d = True
+        yp = self.lay.ypad
         lu_s = np.zeros((self.lay.Xs, self.lay.Ys), np.float32)
-        lu_s[m:m + grid.nx,
-             fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.lu)
+        lu_s[m:m + grid.nx, yp:yp + grid.ny] = np.asarray(grid.lu)
         hr_s = np.zeros_like(lu_s)
-        hr_s[m:m + grid.nx,
-             fsk.YPAD:fsk.YPAD + grid.ny] = np.asarray(grid.hhq_rest)
+        hr_s[m:m + grid.nx, yp:yp + grid.ny] = np.asarray(grid.hhq_rest)
         # mu is spatially constant in the reference (the init quirk zeroes
         # it, init_data.f90:76-77); a nonzero constant enables the fused
         # stress/diffusion branch
@@ -76,11 +86,20 @@ class FusedSWModel:
         else:
             rslu = None
         self.steps_per_call = int(steps_per_call)
-        if tile_guard is None:
+        n_tiles = self.lay.X // tx
+        if ty is not None:
+            n_ty = (self.lay.Ys - 2 * my) // ty
+            wet2d = np.array(
+                [(lu_s[m + i * tx: m + (i + 1) * tx,
+                       my + j * ty: my + (j + 1) * ty] > 0.5).any()
+                 for i in range(n_tiles) for j in range(n_ty)], np.int32)
+            if tile_guard is None:
+                tile_guard = not wet2d.all()
+            self._tile_wet2d = wet2d
+        elif tile_guard is None:
             # auto: guard only when some x-strip is all-land (realistic
             # coastline masks — decomposition.f90:578's weight-0 drop);
             # on all-wet basins the guard is pure overhead
-            n_tiles = self.lay.X // tx
             tile_guard = any(
                 not (lu_s[m + i * tx: m + (i + 1) * tx]
                      > 0.5).any() for i in range(n_tiles))
@@ -91,7 +110,7 @@ class FusedSWModel:
             self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
             rslu_planes=rslu, steps_per_call=self.steps_per_call,
-            tile_guard=self.tile_guard)
+            tile_guard=self.tile_guard, ty=ty, my=my)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------

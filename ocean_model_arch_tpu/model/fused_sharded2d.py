@@ -1,18 +1,18 @@
 """Fused Pallas step over a full 2D device mesh.
 
 Generalizes model/fused_sharded.py (x-only) to P("x", "y") sharding: each
-exchange the prognostic shards swap 8-row x-margins and 8-lane y-margins
+exchange the prognostic shards swap M-row x-margins and M-lane y-margins
 with their mesh neighbours in two ppermute passes (the y-pass runs on the
 x-margined array, so corner margins arrive from the diagonal neighbour —
 the same composition as parallel/halo.py), then every shard runs the
-whole-step kernel on its (xl+16, yl+16) margined block.
+whole-step kernel on its (xl+2M, yl+2M) margined block.
 
 Margin-width safety: the kernel's y-shifts are lane rolls; wrap-around
 garbage creeps inward by the cumulative stencil reach (<= 4 cells) per
-step, so the 8-cell margins cover TWO chained model steps per exchange
-(``steps_per_call=2``, the kernel's output-halo chaining) — halving the
-per-step collective count. The same argument sizes the x Element-window
-margin.
+step, so M = 4*steps_per_call-cell margins cover all chained model steps
+per exchange (the kernel's output-halo chaining) — dividing the per-step
+collective count by steps_per_call. The same argument sizes the x
+Element-window margin.
 
 Full config envelope (matching the reference's GPU layer covering every
 configuration, gpu/interface/sw_interface_gpu.f90):
@@ -28,16 +28,16 @@ configuration, gpu/interface/sw_interface_gpu.f90):
   (no padding between the seam neighbours).
 
 Weighted decomposition (``weighted=True``, parallel.par
-mod_decomposition=1): the x cut lines follow the wet-point cumulative
-distribution (parallel/decomposition.py::weighted_x_edges) instead of an
-even split — the applied form of the reference's weighted block
-assignment (core/decomposition.f90:614-669). Shards get unequal valid
-row counts (padded to a common tile multiple); the margin exchange slices
-each shard's edge strips at its own dynamic offset, and the kernel's
-per-tile wet guard skips pad AND all-land tiles entirely (the shard-level
-analog of the reference's weight-0 block drop, decomposition.f90:578) —
-so equal-wet cuts translate into equal per-shard WORK, not just equal
-area.
+mod_decomposition=1): the cut lines in BOTH axes follow the wet-point
+cumulative distribution (parallel/decomposition.py::weighted_x_edges /
+weighted_y_edges) instead of an even split — the applied form of the
+reference's 2D weighted block assignment (core/decomposition.f90:532-669,
+which balances a bnx x bny block grid). Shards get unequal valid extents
+(padded to common local extents); the margin exchange slices each shard's
+edge strips at its own dynamic offsets, and the kernel's per-tile wet
+guard skips pad AND all-land tiles entirely (the shard-level analog of
+the reference's weight-0 block drop, decomposition.f90:578) — so
+equal-wet cuts translate into equal per-shard WORK, not just equal area.
 """
 
 from __future__ import annotations
@@ -54,8 +54,7 @@ from ..core.grid import Grid
 from ..core.state import SWState
 from ..ops import sw_kernels as swk
 from ..ops.pallas import fused_step as fsk
-from ..parallel.decomposition import weighted_x_edges
-
+from ..parallel.decomposition import weighted_x_edges, weighted_y_edges
 
 
 class FusedSharded2DModel:
@@ -65,7 +64,12 @@ class FusedSharded2DModel:
                  px: int, py: int, tx: int = 64, devices=None,
                  interpret: bool = False, mu_const: float = 0.0,
                  static_rslu: bool = True, steps_per_call: int = 1,
-                 weighted: bool = False, tile_guard: bool = True):
+                 weighted: bool = False, tile_guard: bool = True,
+                 compute_powers_x=None):
+        """``compute_powers_x``: per-x-band relative throughput targets
+        for the weighted cuts (the DLB loop's measured compute_power,
+        control/preprocess.f90:71-72) — band k receives a wet share
+        proportional to powers[k] instead of 1/px."""
         self.grid = grid
         self.cfg = cfg
         self.px, self.py = px, py
@@ -79,39 +83,58 @@ class FusedSharded2DModel:
         # chained step (8-aligned), so deeper chaining widens the
         # exchanged strips instead of adding exchanges
         M = self.M = fsk.margin_for(steps_per_call)
-        self.weighted = bool(weighted) and px > 1
-        yl = -(-grid.ny // py)
-        if self.weighted:
+        self.weighted_x = bool(weighted) and px > 1
+        self.weighted_y = bool(weighted) and py > 1
+        int_mask = (np.asarray(grid.lu) < 0.5).astype(np.int32)
+        # ---- x cut lines ------------------------------------------------
+        if self.weighted_x:
             # equal-wet x cut lines; local pad (not global) absorbs the
             # unequal band widths
-            int_mask = (np.asarray(grid.lu) < 0.5).astype(np.int32)
-            edges = weighted_x_edges(int_mask, px, min_width=M)
+            edges = weighted_x_edges(int_mask, px, min_width=M,
+                                     compute_powers=compute_powers_x)
         else:
             xl = -(-grid.nx // (px * tx)) * tx
             edges = np.arange(px + 1, dtype=np.int64) * xl
         self.x_edges = edges
         lx = np.diff(edges).astype(np.int64)          # valid rows/shard
         Xpad = int(-(-lx.max() // tx) * tx)           # common local extent
-        if Xpad < M or yl < M:
+        # ---- y cut lines ------------------------------------------------
+        if self.weighted_y:
+            y_edges = weighted_y_edges(int_mask, py, min_width=M)
+        else:
+            yl_u = -(-grid.ny // py)
+            y_edges = np.arange(py + 1, dtype=np.int64) * yl_u
+        self.y_edges = y_edges
+        ly = np.diff(y_edges).astype(np.int64)        # valid lanes/shard
+        Ymax = int(ly.max())                          # common local extent
+        if Xpad < M or Ymax < M or int(ly.min()) < M:
             raise ValueError(
                 f"shards must be at least {M} cells wide for the margin "
-                f"exchange (got {lx.min()}x{yl}); use a smaller mesh")
+                f"exchange (got {lx.min()}x{ly.min()}); use a smaller mesh")
         if self.periodic_x and int(edges[-1]) != grid.nx:
             raise ValueError(
                 f"periodic x needs nx divisible by px*tx "
                 f"(nx={grid.nx}, px={px}, tx={tx})")
-        if self.periodic_y and yl * py != grid.ny:
+        if self.periodic_y and int(y_edges[-1]) != grid.ny:
             raise ValueError(
                 f"periodic y needs ny divisible by py "
                 f"(ny={grid.ny}, py={py})")
-        self.lx = lx
-        self.Xpad, self.yl = Xpad, yl
+        self.lx, self.ly = lx, ly
+        self.Xpad, self.Ymax = Xpad, Ymax
         self.Eg = int(edges[-1])     # global x extent spanned by the cuts
-        self.Yg = yl * py
+        self.Yg = int(y_edges[-1])   # global y extent spanned by the cuts
+        # static arrays must cover every shard's FULL padded window with
+        # land-consistent values: zero-filled pads would read as "wet" in
+        # the kernel's encoded mask compares (0 < threshold) and breed
+        # 0-division garbage next to weighted-cut margins
+        self.Exg = max(self.Eg, int(max(edges[i] + Xpad
+                                        for i in range(px))))
+        self.Eyg = max(self.Yg, int(max(y_edges[j] + Ymax
+                                        for j in range(py))))
         # lane extent rounded up to a multiple of 128: misaligned lane
         # rolls cost ~2.6x (see fused_step.make_layout); the dead lanes
         # beyond the y-margin are zero-filled land
-        Ysp = -(-(yl + 2 * M) // 128) * 128
+        Ysp = -(-(Ymax + 2 * M) // 128) * 128
         self.Ysp = Ysp
         self.lay = fsk.FusedLayout(nx=grid.nx, ny=grid.ny, X=Xpad,
                                    Xs=Xpad + 2 * M, Ys=Ysp, tx=tx,
@@ -119,31 +142,36 @@ class FusedSharded2DModel:
         n_tiles = Xpad // tx
 
         # ---- global -> per-shard margined statics -----------------------
+        if (self.periodic_x and self.Exg != grid.nx) or \
+                (self.periodic_y and self.Eyg != grid.ny):
+            raise ValueError("periodic axes need pad-free weighted cuts; "
+                             "use uniform decomposition on this mesh")
+
         def pad2(g):
-            """(Eg, Yg) -> (Eg+2M, Yg+2M) margins: wrapped on periodic
-            axes (seam adjacency), land zeros elsewhere."""
+            """(Exg, Eyg) -> (Exg+2M, Eyg+2M) margins: wrapped on
+            periodic axes (seam adjacency), land zeros elsewhere."""
             g = np.pad(g, ((M, M), (0, 0)),
                        mode="wrap" if self.periodic_x else "constant")
             return np.pad(g, ((0, 0), (M, M)),
                           mode="wrap" if self.periodic_y else "constant")
 
         def shard4(gp, lead=0):
-            """Margined global (..., Eg+2M, Yg+2M) -> per-shard blocks
-            (px, py, ..., Xpad+2M, Ysp), band rows sliced at the cut
-            lines, zero-filled beyond each band's extent (and beyond the
-            y-margin, the lane-alignment pad)."""
+            """Margined global (..., Exg+2M, Eyg+2M) -> per-shard
+            blocks (px, py, ..., Xpad+2M, Ysp): every shard slices its
+            FULL window (valid + margins + pad, land-consistent), plus
+            land zeros in the lane-alignment pad beyond Ymax+2M."""
             out = np.zeros((px, py) + gp.shape[:lead]
                            + (Xpad + 2 * M, Ysp), np.float32)
+            h = Ymax + 2 * M
             for i in range(px):
-                w = int(lx[i]) + 2 * M
                 for j in range(py):
-                    out[i, j, ..., :w, :yl + 2 * M] = \
-                        gp[..., edges[i]: edges[i] + w,
-                           j * yl: j * yl + yl + 2 * M]
+                    out[i, j, ..., :, :h] = \
+                        gp[..., edges[i]: edges[i] + Xpad + 2 * M,
+                           y_edges[j]: y_edges[j] + h]
             return out
 
         def glob(field2d):
-            g = np.zeros((self.Eg, self.Yg), np.float32)
+            g = np.zeros((self.Exg, self.Eyg), np.float32)
             g[:grid.nx, :grid.ny] = np.asarray(field2d)
             return g
 
@@ -152,9 +180,10 @@ class FusedSharded2DModel:
         self.lu_shards = jnp.asarray(shard4(lu_gp))
         self.hr_shards = jnp.asarray(shard4(hr_gp))
 
-        # per-shard valid row counts + per-tile wet flags (the tile guard
+        # per-shard valid extents + per-tile wet flags (the tile guard
         # skips pad and all-land tiles; see module docstring)
         self.lx_arr = jnp.asarray(lx.astype(np.int32))
+        self.ly_arr = jnp.asarray(ly.astype(np.int32))
         self.tile_guard = bool(tile_guard)
         wet = np.asarray(grid.lu) > 0.5
         tw = np.zeros((px, py, n_tiles), np.int32)
@@ -162,9 +191,10 @@ class FusedSharded2DModel:
             for j in range(py):
                 for t in range(n_tiles):
                     r0 = int(edges[i]) + t * tx
-                    r1 = min(int(edges[i]) + (t + 1) * tx, int(edges[i + 1]),
-                             grid.nx)
-                    c0, c1 = j * yl, min((j + 1) * yl, grid.ny)
+                    r1 = min(int(edges[i]) + (t + 1) * tx,
+                             int(edges[i + 1]), grid.nx)
+                    c0 = int(y_edges[j])
+                    c1 = min(int(y_edges[j + 1]), grid.ny)
                     if r0 < r1 and c0 < c1:
                         tw[i, j, t] = int(wet[r0:r1, c0:c1].any())
         self.tile_wet = jnp.asarray(tw)
@@ -181,15 +211,16 @@ class FusedSharded2DModel:
             met_spec = P("x", "y", None, None, None)
             prof_padded = None
         else:
-            gprof = np.pad(gprof, ((0, 0), (0, self.Yg - grid.ny)),
+            gprof = np.pad(gprof, ((0, 0), (0, self.Eyg - grid.ny)),
                            mode="edge")
             prof_padded = np.pad(gprof, ((0, 0), (M, M)),
                                  mode="wrap" if self.periodic_y
-                                 else "edge")      # (N_PROF, Yg+2M)
+                                 else "edge")      # (N_PROF, Eyg+2M)
             prof_sh = np.zeros((py, fsk.N_PROF, Ysp), np.float32)
+            h = Ymax + 2 * M
             for j in range(py):
-                prof_sh[j, :, :yl + 2 * M] = \
-                    prof_padded[:, j * yl: j * yl + yl + 2 * M]
+                prof_sh[j, :, :h] = \
+                    prof_padded[:, y_edges[j]: y_edges[j] + h]
             self.met_shards = jnp.asarray(prof_sh)
             met_spec = P("y", None, None)
         self._met_spec = met_spec
@@ -237,19 +268,19 @@ class FusedSharded2DModel:
         return rows[:, fsk.YPAD:fsk.YPAD + grid.ny]
 
     def _global_planes(self, grid: Grid) -> np.ndarray:
-        """(16, Eg+2M, Yg+2M) full metric planes for the 2D-metrics
+        """(16, Exg+2M, Eyg+2M) full metric planes for the 2D-metrics
         sharded path; physical edges replicated (or wrapped on periodic
         axes) so reciprocals stay finite."""
         M = self.M
         names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb",
                  "rlh_s"]
-        planes = np.zeros((16, self.Eg + 2 * M, self.Yg + 2 * M),
+        planes = np.zeros((16, self.Exg + 2 * M, self.Eyg + 2 * M),
                           np.float32)
         for k, name in enumerate(names):
             f = np.asarray(getattr(grid, name), np.float32)
             # edge-extend over the mesh-divisible pad, then margin
-            g = np.pad(f, ((0, self.Eg - grid.nx),
-                           (0, self.Yg - grid.ny)), mode="edge")
+            g = np.pad(f, ((0, self.Exg - grid.nx),
+                           (0, self.Eyg - grid.ny)), mode="edge")
             gp = np.pad(g, ((M, M), (0, 0)),
                         mode="wrap" if self.periodic_x else "edge")
             planes[k] = np.pad(gp, ((0, 0), (M, M)),
@@ -264,21 +295,27 @@ class FusedSharded2DModel:
 
     # ------------------------------------------------------------------
     def pack(self, state: SWState):
-        """State fields -> band-major global arrays (px*Xpad, py*yl),
+        """State fields -> band-major global arrays (px*Xpad, py*Ymax),
         sharded P("x","y"): shard (i,j) holds band rows
-        [x_edges[i], x_edges[i+1]) at local rows [0, lx[i])."""
+        [x_edges[i], x_edges[i+1]) x lanes [y_edges[j], y_edges[j+1])
+        at local offset (0, 0)."""
+        nx, ny = self.grid.nx, self.grid.ny
+
         def embed(a):
             a = jnp.asarray(a, jnp.float32)
-            g = jnp.zeros((self.px * self.Xpad, self.Yg), jnp.float32)
+            g = jnp.zeros((self.px * self.Xpad, self.py * self.Ymax),
+                          jnp.float32)
             for i in range(self.px):
-                e0, e1 = int(self.x_edges[i]), int(self.x_edges[i + 1])
-                rows = jnp.zeros((e1 - e0, self.Yg), jnp.float32)
-                rows = rows.at[:min(e1, self.grid.nx) - min(e0, self.grid.nx),
-                               :self.grid.ny].set(
-                    a[min(e0, self.grid.nx):min(e1, self.grid.nx),
-                      :self.grid.ny])
-                g = g.at[i * self.Xpad: i * self.Xpad + e1 - e0].set(rows)
-            return jax.device_put(g, NamedSharding(self.mesh, P("x", "y")))
+                e0 = min(int(self.x_edges[i]), nx)
+                e1 = min(int(self.x_edges[i + 1]), nx)
+                for j in range(self.py):
+                    c0 = min(int(self.y_edges[j]), ny)
+                    c1 = min(int(self.y_edges[j + 1]), ny)
+                    g = g.at[i * self.Xpad: i * self.Xpad + (e1 - e0),
+                             j * self.Ymax: j * self.Ymax + (c1 - c0)
+                             ].set(a[e0:e1, c0:c1])
+            return jax.device_put(
+                g, NamedSharding(self.mesh, P("x", "y")))
         fields = [state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
                   state.vbrtr, state.vbrtrp]
         for t in range(self.n_tracers):
@@ -288,12 +325,19 @@ class FusedSharded2DModel:
     def extract(self, carry):
         """Band-major carry arrays -> (nx, ny) global views."""
         def gather(g):
-            parts = []
+            rows = []
             for i in range(self.px):
                 e0, e1 = int(self.x_edges[i]), int(self.x_edges[i + 1])
-                parts.append(g[i * self.Xpad: i * self.Xpad + (e1 - e0)])
-            return jnp.concatenate(parts, axis=0)[:self.grid.nx,
-                                                  :self.grid.ny]
+                cols = []
+                for j in range(self.py):
+                    c0 = int(self.y_edges[j])
+                    c1 = int(self.y_edges[j + 1])
+                    cols.append(
+                        g[i * self.Xpad: i * self.Xpad + (e1 - e0),
+                          j * self.Ymax: j * self.Ymax + (c1 - c0)])
+                rows.append(jnp.concatenate(cols, axis=1))
+            return jnp.concatenate(rows, axis=0)[:self.grid.nx,
+                                                 :self.grid.ny]
         return tuple(gather(a) for a in carry)
 
     # ------------------------------------------------------------------
@@ -314,19 +358,19 @@ class FusedSharded2DModel:
         if self.periodic_y and py > 1:
             fwd_y.append((py - 1, 0))
             bwd_y.append((0, py - 1))
-        weighted = self.weighted
+        weighted_x, weighted_y = self.weighted_x, self.weighted_y
 
-        def exchange(f, lxl):
-            """(Xpad, yl) -> (Xpad+2M, yl+2M); the y-pass on the
-            x-margined array carries the corners. ``lxl``: this shard's
-            valid row count (weighted cuts slice the edge strips at
-            dynamic offsets; uniform cuts use static strips)."""
+        def exchange(f, lxl, lyl):
+            """(Xpad, Ymax) -> (Xpad+2M, Ysp); the y-pass on the
+            x-margined array carries the corners. ``lxl``/``lyl``: this
+            shard's valid extents (weighted cuts slice the edge strips
+            at dynamic offsets; uniform cuts use static strips)."""
             if px == 1:
                 if self.periodic_x:
                     fx = jnp.concatenate([f[-M:], f, f[:M]], axis=0)
                 else:
                     fx = jnp.pad(f, ((M, M), (0, 0)))
-            elif weighted:
+            elif weighted_x:
                 last = lax.dynamic_slice_in_dim(f, lxl - M, M, 0)
                 low = lax.ppermute(last, "x", fwd_x)
                 high = lax.ppermute(f[:M], "x", bwd_x)
@@ -338,7 +382,7 @@ class FusedSharded2DModel:
                 low = lax.ppermute(f[-M:], "x", fwd_x)
                 high = lax.ppermute(f[:M], "x", bwd_x)
                 fx = jnp.concatenate([low, f, high], axis=0)
-            ypad = self.Ysp - (self.yl + 2 * M)   # lane-alignment pad
+            ypad = self.Ysp - (self.Ymax + 2 * M)  # lane-alignment pad
             if py == 1:
                 if self.periodic_y:
                     fy = jnp.concatenate([fx[:, -M:], fx, fx[:, :M]],
@@ -346,16 +390,28 @@ class FusedSharded2DModel:
                 else:
                     fy = jnp.pad(fx, ((0, 0), (M, M)))
                 return jnp.pad(fy, ((0, 0), (0, ypad)))
+            if weighted_y:
+                last = lax.dynamic_slice_in_dim(fx, lyl - M, M, 1)
+                low = lax.ppermute(last, "y", fwd_y)
+                high = lax.ppermute(fx[:, :M], "y", bwd_y)
+                fy = jnp.zeros((fx.shape[0], self.Ysp), f.dtype)
+                fy = lax.dynamic_update_slice_in_dim(fy, fx, M, 1)
+                fy = lax.dynamic_update_slice_in_dim(fy, low, 0, 1)
+                fy = lax.dynamic_update_slice_in_dim(fy, high,
+                                                     M + lyl, 1)
+                return fy
             low = lax.ppermute(fx[:, -M:], "y", fwd_y)
             high = lax.ppermute(fx[:, :M], "y", bwd_y)
             return jnp.pad(jnp.concatenate([low, fx, high], axis=1),
                            ((0, 0), (0, ypad)))
 
-        def local_fn(lu_b, hr_b, met_b, plane_b, lx_b, tw_b, carry):
+        def local_fn(lu_b, hr_b, met_b, plane_b, lx_b, ly_b, tw_b,
+                     carry):
             lu_l = lu_b[0, 0]
             hr_l = hr_b[0, 0]
             met_l = met_b[0, 0] if self.metrics_2d else met_b[0]
             lxl = lx_b[0]
+            lyl = ly_b[0]
             extra = ()
             if self.static_rslu:
                 extra = (plane_b[0, 0],)
@@ -363,14 +419,28 @@ class FusedSharded2DModel:
             if self.tile_guard:
                 kw["tile_wet"] = tw_b[0, 0]
 
-            yl = self.yl
+            ymax = self.Ymax
+
+            # pad-region mask: rows/lanes beyond this shard's valid
+            # extent are re-grounded to exact zeros every call. The
+            # zero-filled static planes make the kernel's encoded
+            # wet-mask compares read "wet" there (0 < threshold), so
+            # its pad outputs are 0-division garbage; with weighted
+            # cuts the crop boundary passes through ocean, and that
+            # garbage would otherwise meet wet margin cells and leak
+            # NaN into the stability guard.
+            valid = ((lax.broadcasted_iota(jnp.int32, (self.Xpad, ymax),
+                                           0) < lxl)
+                     & (lax.broadcasted_iota(jnp.int32, (self.Xpad,
+                                                         ymax), 1) < lyl))
 
             def one(c, _):
                 fields, mx = c
-                margined = tuple(exchange(f, lxl) for f in fields)
+                margined = tuple(exchange(f, lxl, lyl) for f in fields)
                 outs, tmax = self.step_raw(lu_l, hr_l, met_l, *extra,
                                            *margined, **kw)
-                return (tuple(o[M:-M, M:M + yl] for o in outs),
+                return (tuple(jnp.where(valid, o[M:-M, M:M + ymax], 0.0)
+                              for o in outs),
                         jnp.maximum(mx, jnp.max(tmax))), None
 
             (carry, mx), _ = lax.scan(
@@ -390,7 +460,7 @@ class FusedSharded2DModel:
         sharded = jax.shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(P("x", "y", None, None), P("x", "y", None, None),
-                      self._met_spec, plane_spec, P("x"),
+                      self._met_spec, plane_spec, P("x"), P("y"),
                       P("x", "y", None),
                       tuple(P("x", "y") for _ in range(nf))),
             out_specs=(tuple(P("x", "y") for _ in range(nf)), P()),
@@ -401,6 +471,6 @@ class FusedSharded2DModel:
         def runner(carry):
             return sharded(self.lu_shards, self.hr_shards,
                            self.met_shards, planes, self.lx_arr,
-                           self.tile_wet, tuple(carry))
+                           self.ly_arr, self.tile_wet, tuple(carry))
 
         return runner

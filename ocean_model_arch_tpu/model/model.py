@@ -172,6 +172,72 @@ class OceanModel:
                 and fused_available(self.grid, self.cfg, sharded=True,
                                     px=px, py=py))
 
+    def dynamic_load_balance(self, verbose: bool = True,
+                             interpret: bool = False,
+                             steps_per_call: int = 2) -> list:
+        """Closed-loop dynamic load balancing — the analog of
+        control/preprocess.f90:21-100: build the sharded model with the
+        current cut lines, run ``dlb_model_steps`` probe steps (timed),
+        MEASURE each shard's work — the active (non-skipped) tile count,
+        the exact quantity the per-tile wet guard executes — derive
+        per-band compute powers = wet-share / work, re-cut the weighted
+        x edges, and keep the best decomposition. Honors parallel.par's
+        dlb_balance_steps / dlb_model_steps (previously parsed but
+        unused). Returns the per-round history
+        [(work_balance_ratio, probe_seconds), ...]; the selected model is
+        installed as the fused-sharded runner."""
+        import time as _time
+
+        from .fused_sharded2d import FusedSharded2DModel
+        p = self.cfg.parallel
+        px, py = p.mesh_x, p.mesh_y
+        spc = steps_per_call
+        n_probe = max(spc, (p.dlb_model_steps // spc) * spc)
+        powers = None
+        best = None
+        hist = []
+        wet = np.asarray(self.grid.lu) > 0.5
+        for r in range(p.dlb_balance_steps):
+            fs = FusedSharded2DModel(
+                self.grid, self.cfg, self.cfg.run.tau, px, py,
+                weighted=True, interpret=interpret,
+                mu_const=self.state_mu_const() or 0.0,
+                steps_per_call=spc, compute_powers_x=powers)
+            # measured per-shard work: tiles the guard actually runs
+            tiles = np.asarray(fs.tile_wet).sum(axis=2).astype(float)
+            ratio = float(tiles.max() / max(tiles.mean(), 1e-12))
+            # timed probe pass (the reference's compute_power measure;
+            # on a lockstep single-host mesh the time is the critical
+            # path, the tile counts carry the per-shard signal)
+            t0 = _time.perf_counter()
+            _, ok = fs.make_runner(n_probe)(fs.pack(self.state))
+            jax.block_until_ready(ok)
+            dt = _time.perf_counter() - t0
+            hist.append((ratio, dt))
+            if verbose:
+                print(f"PREP: DLB round {r}: work balance ratio "
+                      f"{ratio:.3f}, probe {n_probe} steps {dt:.2f}s")
+            if best is None or ratio < best[0] - 1e-12:
+                best = (ratio, fs)
+            # feedback: band k's power <- its wet share / its critical
+            # work, so bands whose tile quantization makes them slow
+            # shed wet points (preprocess.f90:71-72's
+            # compute_power = tot_weight / time, with work as the
+            # lockstep time proxy)
+            shares = np.array([
+                wet[int(fs.x_edges[k]):int(fs.x_edges[k + 1])].sum()
+                for k in range(px)], float)
+            work = tiles.max(axis=1)
+            work = np.where(work > 0, work, work.max() or 1.0)
+            powers = shares / work
+            powers = powers / powers.sum()
+        self._fused_sh = best[1]
+        if verbose:
+            print(f"PREP: DLB selected cuts "
+                  f"{list(map(int, best[1].x_edges))} "
+                  f"(work balance {best[0]:.3f})")
+        return hist
+
     def _fused_sharded_runner(self, fs, n_inner: int):
         inner = fs.make_runner(n_inner)
 
@@ -294,6 +360,13 @@ class OceanModel:
             if verbose:
                 print(f"MODEL: resumed from {checkpoint_path} "
                       f"at step {self.num_step}")
+
+        # dynamic load balance (model.f90:64-89's dlb branch): probe,
+        # measure, re-cut before the production loop
+        if (cfg.parallel.dlb_balance_steps > 0
+                and cfg.parallel.mesh_x > 1
+                and self._use_fused_sharded()):
+            self.dynamic_load_balance(verbose=verbose)
 
         if verbose:
             print(self.startup_report())

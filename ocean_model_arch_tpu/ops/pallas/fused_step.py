@@ -77,6 +77,7 @@ class FusedLayout(NamedTuple):
     Ys: int          # stored cols = ny + 2*YPAD
     tx: int          # tile rows
     margin: int = MARGIN   # x margin rows (>= 4 * steps_per_call)
+    ypad: int = YPAD       # physical y offset (the y land margin)
 
 
 def make_layout(nx: int, ny: int, tx: int = 64,
@@ -92,17 +93,33 @@ def make_layout(nx: int, ny: int, tx: int = 64,
     return FusedLayout(nx, ny, X, X + 2 * m, Ys, tx, m)
 
 
+def make_layout_2d(nx: int, ny: int, tx: int = 64, ty: int = 512,
+                   my: int = 128, steps_per_call: int = 1) -> FusedLayout:
+    """Layout for the 2D-tiled (x, y) grid: lanes split into ceil(ny/ty)
+    output tiles of ty lanes between my-lane land margins (my replaces
+    YPAD as the physical y offset; (ty + 2*my) % 128 == 0 keeps windows
+    lane-aligned)."""
+    assert my % 128 == 0, my   # output lane offsets must be 128-aligned
+    X = -(-nx // tx) * tx
+    n_ty = -(-ny // ty)
+    m = margin_for(steps_per_call)
+    return FusedLayout(nx, ny, X, X + 2 * m, 2 * my + n_ty * ty, tx, m,
+                       ypad=my)
+
+
 def embed(lay: FusedLayout, a) -> jnp.ndarray:
     """Place an (nx, ny) field into the fused (Xs, Ys) layout (zeros
     elsewhere — land)."""
     out = jnp.zeros((lay.Xs, lay.Ys), jnp.float32)
     return out.at[lay.margin:lay.margin + lay.nx,
-                  YPAD:YPAD + lay.ny].set(jnp.asarray(a, jnp.float32))
+                  lay.ypad:lay.ypad + lay.ny].set(
+                      jnp.asarray(a, jnp.float32))
 
 
 def extract(lay: FusedLayout, a) -> jnp.ndarray:
     """Crop back to the physical (nx, ny) extents."""
-    return a[lay.margin:lay.margin + lay.nx, YPAD:YPAD + lay.ny]
+    return a[lay.margin:lay.margin + lay.nx,
+             lay.ypad:lay.ypad + lay.ny]
 
 
 def _roll_y(a, dn: int, ys: int):
@@ -145,11 +162,15 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  n_tracers: int = 0, metrics_2d: bool = False,
                  static_rslu: bool = False, steps_per_call: int = 1,
                  has_lu: bool = True, has_hr: bool = True,
-                 tile_guard: bool = False, guard_y_margin: bool = False):
+                 tile_guard: bool = False, guard_col: int = 0,
+                 ys_win: int | None = None, n_ty: int = 1,
+                 out_col_crop: int = 0):
     M = lay.margin
     assert M >= 4 * steps_per_call, \
         f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
-    Ys = lay.Ys
+    # window lane extent: full-array for x-strip tiling, ty + 2*my for
+    # 2D (x, y) tiling — the roll modulo and broadcast width
+    Ys = lay.Ys if ys_win is None else ys_win
     g = float(FREE_FALL_ACC)
     ts = float(time_smooth)
     visc = bool(ksw and mu_const != 0.0)
@@ -815,8 +836,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 sshx = sshx[M:-M, :]
             elif ho:
                 sshx = sshx[ho:-ho, :]     # rows at halo ho -> center
-            if guard_y_margin:
-                sshx = sshx[:, M:-M]
+            if guard_col:
+                sshx = sshx[:, guard_col:-guard_col]
             stepmax = jnp.max(jnp.abs(sshx))
             return new_state, new_tracers, stepmax
 
@@ -834,10 +855,13 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             mx = jnp.maximum(mx, stepmax)
             hb = ho
 
+        cc = out_col_crop        # 2D tiling: outputs are (tx, ty) lanes
         if uniform:
-            final = [x[M:-M, :] for x in (*state, *tracers)]
+            final = [x[M:-M, cc:-cc] if cc else x[M:-M, :]
+                     for x in (*state, *tracers)]
         else:
-            final = [*state, *tracers]
+            final = [x[:, cc:-cc] if cc else x
+                     for x in (*state, *tracers)]
         for o, x in zip(outs, final):
             o[...] = x
         omax_ref[...] = jnp.broadcast_to(mx, (8, 128))
@@ -854,7 +878,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         n_out = 6 + 2 * n_tracers
         outs = refs[len(refs) - n_out - 1:-1]
         omax_ref = refs[-1]
-        active = wet_ref[pl.program_id(0)] > 0
+        tile = pl.program_id(0)
+        if n_ty > 1:          # 2D (x, y) grid: flat wet-flag index
+            tile = tile * n_ty + pl.program_id(1)
+        active = wet_ref[tile] > 0
 
         @pl.when(active)
         def _():
@@ -877,7 +904,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         metrics_2d: bool = False,
                         rslu_planes=None, steps_per_call: int = 1,
                         tile_guard: bool = False,
-                        guard_y_margin: bool = False):
+                        guard_y_margin: bool = False,
+                        ty: int | None = None, my: int = 128):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -915,39 +943,68 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     has_hr = (not fast) or visc or (n_tracers > 0)
     if lu_s is None:
         has_lu = has_hr = True      # raw (sharded) form keeps both
+    # 2D (x, y) tiling: ty splits the lane extent into n_ty output tiles
+    # of ty lanes with my-lane margins (lay.Ys == 2*my + n_ty*ty); the
+    # per-tile wet guard then elides land at (tx x ty) granularity — the
+    # shard-level form of the reference's weight-0 block drop
+    # (decomposition.f90:505-578) in BOTH axes.
+    n_ty = 1
+    if ty is not None:
+        # Mosaic write windows need 128-aligned lane offsets (my + j*ty)
+        assert my % 128 == 0 and ty % 128 == 0, (ty, my)
+        assert (lay.Ys - 2 * my) % ty == 0, (lay.Ys, ty, my)
+        n_ty = (lay.Ys - 2 * my) // ty
+    ys_win = lay.Ys if ty is None else ty + 2 * my
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
                         n_tracers, metrics_2d=metrics_2d,
                         static_rslu=static_rslu,
                         steps_per_call=steps_per_call,
                         has_lu=has_lu, has_hr=has_hr,
                         tile_guard=tile_guard,
-                        guard_y_margin=guard_y_margin)
+                        guard_col=(M if guard_y_margin else
+                                   (my if ty is not None else 0)),
+                        ys_win=ys_win, n_ty=n_ty,
+                        out_col_crop=(my if ty is not None else 0))
 
     n_tiles = lay.X // tx
 
-    # index_maps take (i, *scalar_prefetch_refs) — the trailing *_ keeps
-    # them valid with and without the tile-guard scalar plane
+    # index_maps take (i[, j], *scalar_prefetch_refs) — the trailing *_
+    # keeps them valid with and without the tile-guard scalar plane
+    if ty is None:
+        def xy(i, *_):
+            return i, 0
+    else:
+        def xy(i, j, *_):
+            return i, j
+
     def in_spec():
+        def ix(*a):
+            i, j = xy(*a)
+            return (pl.multiple_of(i * tx, 8), j * ty if ty else 0)
         return pl.BlockSpec(
-            (pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
-            lambda i, *_: (pl.multiple_of(i * tx, 8), 0),
-            memory_space=pltpu.VMEM)
+            (pl.Element(tx + 2 * M), pl.Element(ys_win)),
+            ix, memory_space=pltpu.VMEM)
 
     def out_spec():
+        def ix(*a):
+            i, j = xy(*a)
+            return (pl.multiple_of(i * tx + M, 8),
+                    my + j * ty if ty else 0)
         return pl.BlockSpec(
-            (pl.Element(tx), pl.Element(lay.Ys)),
-            lambda i, *_: (pl.multiple_of(i * tx + M, 8), 0),
-            memory_space=pltpu.VMEM)
+            (pl.Element(tx), pl.Element(lay.Ys if ty is None else ty)),
+            ix, memory_space=pltpu.VMEM)
 
     if metrics_2d:
         met_spec = pl.BlockSpec(
-            (pl.Element(16), pl.Element(tx + 2 * M), pl.Element(lay.Ys)),
-            lambda i, *_: (0, pl.multiple_of(i * tx, 8), 0),
+            (pl.Element(16), pl.Element(tx + 2 * M), pl.Element(ys_win)),
+            lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
+                        xy(*a)[1] * ty if ty else 0),
             memory_space=pltpu.VMEM)
     else:
         met_spec = pl.BlockSpec(
-            (pl.Element(N_PROF), pl.Element(lay.Ys)),
-            lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+            (pl.Element(N_PROF), pl.Element(ys_win)),
+            lambda *a: (0, xy(*a)[1] * ty if ty else 0),
+            memory_space=pltpu.VMEM)
 
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
     n_out = 6 + 2 * n_tracers
@@ -964,8 +1021,9 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                 "static planes do not match this config's plane set"
         rslu_specs = [pl.BlockSpec(
             (pl.Element(n_pl), pl.Element(tx + 2 * M),
-             pl.Element(lay.Ys)),
-            lambda i, *_: (0, pl.multiple_of(i * tx, 8), 0),
+             pl.Element(ys_win)),
+            lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
+                        xy(*a)[1] * ty if ty else 0),
             memory_space=pltpu.VMEM)]
     n_base = int(has_lu) + int(has_hr)
     in_specs = ([in_spec() for _ in range(n_base + 6)] + [met_spec]
@@ -977,18 +1035,21 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     # its span-the-array restriction)
     max_spec = pl.BlockSpec(
         (pl.Element(8), pl.Element(128)),
-        lambda i, *_: (pl.multiple_of(i * 8, 8), 0),
+        lambda *a: (pl.multiple_of(
+            (xy(*a)[0] * n_ty + xy(*a)[1]) * 8, 8), 0),
         memory_space=pltpu.VMEM)
-    max_shape = jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+    max_shape = jax.ShapeDtypeStruct((n_tiles * n_ty * 8, 128),
+                                     jnp.float32)
     out_specs = [out_spec() for _ in range(n_out)] + [max_spec]
+    grid = (n_tiles,) if ty is None else (n_tiles, n_ty)
     if tile_guard:
         # per-tile wet flags ride as a scalar-prefetch SMEM plane; the
-        # guarded kernel reads flag[program_id] before any tile work
+        # guarded kernel reads flag[flat program id] before any tile work
         call = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(n_tiles,),
+                grid=grid,
                 in_specs=in_specs,
                 out_specs=out_specs),
             out_shape=[shape] * n_out + [max_shape],
@@ -998,7 +1059,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     else:
         call = pl.pallas_call(
             kern,
-            grid=(n_tiles,),
+            grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=[shape] * n_out + [max_shape],
@@ -1039,8 +1100,15 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     pre = ()
     if tile_guard:
         lu_np = np.asarray(lu_s)
-        tw = np.array([(lu_np[M + i * tx: M + (i + 1) * tx] > 0.5).any()
-                       for i in range(n_tiles)], np.int32)
+        if ty is None:
+            tw = np.array(
+                [(lu_np[M + i * tx: M + (i + 1) * tx] > 0.5).any()
+                 for i in range(n_tiles)], np.int32)
+        else:
+            tw = np.array(
+                [(lu_np[M + i * tx: M + (i + 1) * tx,
+                        my + j * ty: my + (j + 1) * ty] > 0.5).any()
+                 for i in range(n_tiles) for j in range(n_ty)], np.int32)
         pre = (jnp.asarray(tw),)
 
     def step(ssh, sshp, u, up, v, vp, *tracers):
@@ -1061,10 +1129,11 @@ def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:
         if not np.allclose(f, f[:1, :], rtol=0, atol=0):
             raise ValueError(f"metric {name} is not x-uniform; "
                              "fused path unsupported (use jnp step)")
-        rows[k, YPAD:YPAD + lay.ny] = f[0, :]
+        yp = lay.ypad
+        rows[k, yp:yp + lay.ny] = f[0, :]
         # extend profiles into the y land margin so divisions stay finite
-        rows[k, :YPAD] = f[0, 0]
-        rows[k, YPAD + lay.ny:] = f[0, -1]
+        rows[k, :yp] = f[0, 0]
+        rows[k, yp + lay.ny:] = f[0, -1]
     # rows 9-15: reciprocal profiles (see kernel) — metric divisions
     # become multiplies on the VPU
     with np.errstate(divide="ignore"):
@@ -1145,11 +1214,12 @@ def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:
     for k, name in enumerate(names):
         f = np.asarray(getattr(grid, name), np.float32)
         p = planes[k]
-        p[M:M + lay.nx, YPAD:YPAD + lay.ny] = f
+        yp = lay.ypad
+        p[M:M + lay.nx, yp:yp + lay.ny] = f
         # edge-replicate into the margins (y first, then x rows cover
         # the corners too)
-        p[M:M + lay.nx, :YPAD] = f[:, :1]
-        p[M:M + lay.nx, YPAD + lay.ny:] = f[:, -1:]
+        p[M:M + lay.nx, :yp] = f[:, :1]
+        p[M:M + lay.nx, yp + lay.ny:] = f[:, -1:]
         p[:M, :] = p[M, :]
         p[M + lay.nx:, :] = p[M + lay.nx - 1, :]
     with np.errstate(divide="ignore"):

@@ -233,25 +233,45 @@ def weighted_x_edges(int_mask: np.ndarray, px: int,
     return edges
 
 
+def weighted_y_edges(int_mask: np.ndarray, py: int,
+                     min_width: int = 8,
+                     compute_powers=None) -> np.ndarray:
+    """Non-uniform y cut lines with ~equal WET points per y-band —
+    symmetric to :func:`weighted_x_edges` (the reference balances its
+    block grid in BOTH axes, decomposition.f90:532-612)."""
+    return weighted_x_edges(int_mask.T, py, min_width=min_width,
+                            compute_powers=compute_powers)
+
+
 def x_band_balance(int_mask: np.ndarray, edges: np.ndarray,
                    py: int) -> float:
     """max/mean wet points per shard for x-bands ``edges`` x uniform
     y-split (the balance figure the weighted cuts minimize)."""
     ny = int_mask.shape[1]
-    wet = (int_mask == 0)
     iy = np.linspace(0, ny, py + 1).astype(int)
-    w = np.array([[wet[edges[i]:edges[i + 1], iy[j]:iy[j + 1]].sum()
-                   for j in range(py)]
-                  for i in range(len(edges) - 1)], np.float64)
+    return xy_balance(int_mask, edges, iy)
+
+
+def xy_balance(int_mask: np.ndarray, x_edges: np.ndarray,
+               y_edges: np.ndarray) -> float:
+    """max/mean wet points per shard for the full 2D cut grid
+    (decomposition.f90:938's ratio over the mesh cells)."""
+    wet = (int_mask == 0)
+    w = np.array(
+        [[wet[x_edges[i]:x_edges[i + 1],
+              y_edges[j]:y_edges[j + 1]].sum()
+          for j in range(len(y_edges) - 1)]
+         for i in range(len(x_edges) - 1)], np.float64)
     m = w.mean()
     return float(w.max() / m) if m > 0 else float("inf")
 
 
 def choose_mesh_dims(int_mask: np.ndarray, n_dev: int,
-                     min_width: int = 8) -> tuple[int, int]:
+                     min_width: int = 8,
+                     weighted_y: bool = True) -> tuple[int, int]:
     """Pick the (px, py) factorization of n_dev minimizing the weighted
-    wet-point balance ratio (mpi_dims_create + weights). Ties break
-    toward square-ish meshes."""
+    wet-point balance ratio (mpi_dims_create + weights), with weighted
+    cuts in BOTH axes. Ties break toward square-ish meshes."""
     nx, ny = int_mask.shape
     best = None
     for px in range(1, n_dev + 1):
@@ -261,10 +281,13 @@ def choose_mesh_dims(int_mask: np.ndarray, n_dev: int,
         if nx // px < min_width or ny // py < min_width:
             continue
         try:
-            edges = weighted_x_edges(int_mask, px, min_width)
+            xe = weighted_x_edges(int_mask, px, min_width)
+            ye = (weighted_y_edges(int_mask, py, min_width)
+                  if weighted_y
+                  else np.linspace(0, ny, py + 1).astype(np.int64))
         except ValueError:
             continue
-        ratio = x_band_balance(int_mask, edges, py)
+        ratio = xy_balance(int_mask, xe, ye)
         key = (ratio, abs(px - py))
         if best is None or key < best[0]:
             best = (key, (px, py))

@@ -22,7 +22,8 @@ from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 
 
 def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
-                  static_rslu=False, steps_per_call=1):
+                  static_rslu=False, steps_per_call=1, ty=None, my=128,
+                  mask="frame"):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -38,12 +39,16 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
     if not trans:
         cfg = dataclasses.replace(
             cfg, sw=dataclasses.replace(cfg.sw, trans_terms=0))
-    grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
-                      precision=prec)
+    if mask == "azov":
+        from ocean_model_arch_tpu.io.mask_io import read_mask
+        int_mask = read_mask("data/AS/maskAzovCor.txt", basin.nx, basin.ny)
+    else:
+        int_mask = frame_of_land_mask(basin.nx, basin.ny)
+    grid = build_grid(basin, int_mask, precision=prec)
     state = init_ocean_state(grid, cfg)
     fm = FusedSWModel(grid, cfg, 1.0, tx=tx, vmem_limit_bytes=vmem,
                       static_rslu=static_rslu,
-                      steps_per_call=steps_per_call)
+                      steps_per_call=steps_per_call, ty=ty, my=my)
     carry = fm.pack(state)
 
     @jax.jit
@@ -63,8 +68,11 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
         best = min(best, time.perf_counter() - t0)
     ms = best / n_inner * 1e3
     pts = basin.nx * basin.ny
-    print(f"{name:10s} {ms:.4f} ms/step  {pts / ms * 1e3 / 1e9:6.2f} "
-          f"Gpts/s  (first-call {compile_s:.0f}s)", flush=True)
+    import numpy as _np
+    wet = float((_np.asarray(int_mask) == 0).mean())
+    print(f"{name:12s} {ms:.4f} ms/step  {pts / ms * 1e3 / 1e9:6.2f} "
+          f"Gpts/s  {pts * wet / ms * 1e3 / 1e9:6.2f} Gwet/s "
+          f"(first-call {compile_s:.0f}s)", flush=True)
 
 
 VARIANTS = {
@@ -104,6 +112,16 @@ VARIANTS = {
                       vmem=120 * 1024 * 1024),
     "rslu256x2": dict(tx=256, trans=1, static_rslu=True, steps_per_call=2,
                       vmem=110 * 1024 * 1024),
+    # round 3: 2D (tx x ty) land elision on the real Azov coastline
+    "azov_ctl": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                     vmem=64 * 1024 * 1024, mask="azov"),
+    "azov512": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                    vmem=80 * 1024 * 1024, mask="azov", ty=512),
+    "azov896": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                    vmem=100 * 1024 * 1024, mask="azov", ty=896),
+    "azov896x128": dict(tx=128, trans=1, static_rslu=True,
+                        steps_per_call=2, vmem=110 * 1024 * 1024,
+                        mask="azov", ty=896),
 }
 
 

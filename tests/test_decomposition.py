@@ -100,6 +100,23 @@ def test_weighted_x_cuts_improve_balance():
         assert edges[0] == 0 and edges[-1] == nx
 
 
+def test_weighted_y_cuts_improve_balance():
+    """Weighted cuts in BOTH axes beat x-only weighting on the real
+    coastlines at 2x4 / 4x2 meshes (the reference balances its block
+    grid in 2D, decomposition.f90:532-612)."""
+    for path, nx, ny in [("data/BS/mask_bs4km.txt", 289, 163),
+                         ("data/AS/maskAzovCor.txt", 1525, 1115)]:
+        mask = load_mask(path, nx, ny, REPO)
+        for px, py in [(2, 4), (4, 2)]:
+            xe = dd.weighted_x_edges(mask, px)
+            ye_uni = np.linspace(0, ny, py + 1).astype(np.int64)
+            ye_w = dd.weighted_y_edges(mask, py)
+            r_xonly = dd.xy_balance(mask, xe, ye_uni)
+            r_xy = dd.xy_balance(mask, xe, ye_w)
+            assert ye_w[0] == 0 and ye_w[-1] == ny
+            assert r_xy < r_xonly, (path, px, py, r_xy, r_xonly)
+
+
 def test_choose_mesh_dims():
     mask = load_mask("data/BS/mask_bs4km.txt", 289, 163, REPO)
     px, py = dd.choose_mesh_dims(mask, 8)

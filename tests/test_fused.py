@@ -176,6 +176,42 @@ def test_fused_availability_checks():
                                tx=64)
 
 
+def test_fused_2d_tiled_land_elision_bitexact():
+    """ty splits the lane extent into (tx x ty) tiles with my-lane
+    margins; the wet guard then skips all-land tiles in BOTH axes (the
+    2D form of the reference's weight-0 block drop,
+    decomposition.f90:505-578). Must be bit-exact vs the full-lane
+    x-strip tiling, with the guard demonstrably active."""
+    nx, ny = 96, 300
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=2),
+                      precision=Precision.f32())
+    mask = frame_of_land_mask(nx, ny)
+    mask[:, 150:] = 1          # right half land -> all-land y-tiles
+    mask[40:64, :] = 1         # a land band -> all-land x-strips
+    rng = np.random.RandomState(7)
+    mask[2:-2, 2:-2] |= (rng.rand(nx - 4, ny - 4) < 0.1).astype(np.int32)
+    grid = build_grid(basin, mask, precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+
+    f1 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2)
+    a, ok1 = f1.run_steps(f1.pack(state), 20)
+    A = f1.unpack(a, state)
+    f2 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2, ty=128, my=128)
+    assert f2.tile_guard and f2._tile_wet2d.mean() <= 0.6, \
+        "test mask should make the 2D guard skip a big tile fraction"
+    b, ok2 = f2.run_steps(f2.pack(state), 20)
+    B = f2.unpack(b, state)
+    assert bool(ok1) and bool(ok2)
+    for name in ("ssh", "ubrtr", "vbrtr", "ff"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(A, name)), np.asarray(getattr(B, name)),
+            err_msg=f"2D-tiled {name} diverged from x-strip tiling")
+
+
 def test_fused_guard_trips():
     grid, cfg, state = _case(1, False)
     fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)

@@ -101,15 +101,20 @@ def test_fused_2d_mesh_bipolar():
 
 
 def test_fused_2d_mesh_weighted_cuts(case):
-    """Weighted (equal-wet) x cut lines + per-tile land/pad elision must
-    reproduce the reference trajectory exactly like the uniform split —
-    the applied form of decomposition.f90:614-669 + the weight-0 block
+    """Weighted (equal-wet) cut lines in BOTH axes + per-tile land/pad
+    elision must reproduce the reference trajectory exactly like the
+    uniform split — the applied form of the reference's 2D weighted
+    block assignment (decomposition.f90:532-669) + the weight-0 block
     drop (:578)."""
     grid, cfg, state, ref = case
     fm = FusedSharded2DModel(grid, cfg, 1.0, 4, 2, tx=8, interpret=True,
                              weighted=True)
-    assert fm.weighted
+    assert fm.weighted_x and fm.weighted_y
     assert int(fm.x_edges[-1]) == grid.nx     # cuts span exactly [0, nx)
+    assert int(fm.y_edges[-1]) == grid.ny
+    # weighted y cuts actually moved (the test mask is y-asymmetric)
+    uniform_y = np.arange(3) * (-(-grid.ny // 2))
+    assert not np.array_equal(np.asarray(fm.y_edges), uniform_y)
     c, ok = fm.make_runner(30)(fm.pack(state))
     assert bool(ok)
     fields = fm.extract(c)
