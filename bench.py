@@ -27,10 +27,150 @@ the static-plane streaming. Round-2 default (tx=64, spc=2): 17.3 Gpts/s.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_CPU_SUB = """
+import jax, json
+jax.config.update("jax_platforms", "cpu")
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+{body}
+"""
+
+
+def _run_cpu_subprocess(body: str) -> dict:
+    """Run a snippet on the virtual 8-device CPU mesh (the axon platform
+    pin is process-wide, so multi-device work needs a fresh process) and
+    parse the single JSON line it prints."""
+    out = subprocess.run(
+        [sys.executable, "-c", _CPU_SUB.format(body=body)],
+        capture_output=True, text=True, cwd=".", check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_weak_scaling():
+    """Weak-scaling efficiency over the virtual 8-device CPU mesh via
+    the portable jnp sharded step (real XLA collectives; the same
+    harness runs unchanged on real multi-chip TPU meshes, where it
+    picks the fused Pallas path — diag/scaling.py)."""
+    rep = _run_cpu_subprocess("""
+from ocean_model_arch_tpu.diag.scaling import weak_scaling
+rep = weak_scaling([(1, 1), (2, 1), (2, 2), (4, 2)],
+                   nx_loc=256, ny_loc=256, n_inner=20, windows=3)
+print(json.dumps(rep))
+""")
+    # the virtual mesh timeshares one host's cores, so the honest figure
+    # here is WORK-NORMALIZED efficiency (ideal t(N) = N*t(1)); on real
+    # multi-chip meshes the same harness reports true weak efficiency
+    # (ideal t(N) = t(1)) — diag/scaling.py
+    out = {
+        "metric": "weak_scaling_efficiency_1_to_8",
+        "value": round(rep["efficiency_last"], 4),
+        "unit": ("N*t(1)/t(N), work-normalized (shared-core virtual "
+                 "mesh), fixed 256x256/dev" if rep["shared_cores"]
+                 else "t_step(1 dev) / t_step(N dev), fixed 256x256/dev"),
+        "vs_baseline": round(rep["efficiency_last"] / 0.9, 4),
+        "path": rep["path"],
+        "backend": ("cpu_virtual_8" if rep["shared_cores"]
+                    else "device_mesh"),
+        "rows": [{"mesh": r["mesh"],
+                  "ms_per_step": round(r["step_seconds"] * 1e3, 3),
+                  "efficiency": round(r["efficiency"], 4),
+                  "efficiency_work_normalized": round(
+                      r["efficiency_work_normalized"], 4)}
+                 for r in rep["rows"]],
+    }
+    print(json.dumps(out))
+
+
+def bench_halo_overlap():
+    """Halo-exchange accounting: exact collective bytes/step of the
+    fused-sharded step (lowered HLO, virtual 4x2 mesh on the bench
+    extents) + the measured margin-exchange overhead of the sharded
+    driver at 1x1 (no collectives) vs the plain fused model on the
+    chip. The comm bound assumes the stated per-link ICI bandwidth and
+    zero overlap — the reference's mpp sync-phase share analog
+    (mpp.f90:272-341)."""
+    import jax
+
+    from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from ocean_model_arch_tpu.config import (ModelConfig, Precision,
+                                             SWConfig, basinpar_as250m_test)
+    from ocean_model_arch_tpu.core.grid import build_grid
+    from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+    from ocean_model_arch_tpu.model.fused import FusedSWModel
+    from ocean_model_arch_tpu.model.fused_sharded2d import \
+        FusedSharded2DModel
+    from ocean_model_arch_tpu.model.init import init_ocean_state
+
+    basin = basinpar_as250m_test()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=Precision.f32())
+    grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
+                      precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+    n_inner = 2000
+
+    def best_of(run, carry, windows=3):
+        carry, ok = run(carry)
+        assert bool(ok)            # true barrier (see main)
+        best = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            carry, ok = run(carry)
+            assert bool(ok)
+            best = min(best, time.perf_counter() - t0)
+        return best / n_inner
+
+    fm = FusedSWModel(grid, cfg, 1.0, tx=64, static_rslu=True,
+                      steps_per_call=2)
+    t_fused = best_of(jax.jit(lambda c: fm.run_steps(c, n_inner)),
+                      fm.pack(state))
+    fs = FusedSharded2DModel(grid, cfg, 1.0, 1, 1, tx=64,
+                             steps_per_call=2)
+    t_1x1 = best_of(fs.make_runner(n_inner), fs.pack(state))
+
+    rep = _run_cpu_subprocess("""
+from ocean_model_arch_tpu.config import (ModelConfig, Precision, SWConfig,
+                                         basinpar_as250m_test)
+from ocean_model_arch_tpu.core.grid import build_grid
+from ocean_model_arch_tpu.core.masks import frame_of_land_mask
+from ocean_model_arch_tpu.diag.scaling import halo_bytes_per_step
+from ocean_model_arch_tpu.model.fused_sharded2d import FusedSharded2DModel
+from ocean_model_arch_tpu.model.init import init_ocean_state
+basin = basinpar_as250m_test()
+cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                  precision=Precision.f32())
+grid = build_grid(basin, frame_of_land_mask(basin.nx, basin.ny),
+                  precision=cfg.precision)
+fs = FusedSharded2DModel(grid, cfg, 1.0, 4, 2, tx=64, interpret=True,
+                         steps_per_call=2)
+print(json.dumps({"bytes": halo_bytes_per_step(fs)}))
+""")
+    ici_gbps = 45.0
+    comm_s = rep["bytes"] / (ici_gbps * 1e9)
+    # per-device compute time at 4x2 strong scaling of this domain
+    t_dev = t_1x1 / 8
+    out = {
+        "metric": "halo_exchange_accounting",
+        "value": round(comm_s / (t_dev + comm_s), 4),
+        "unit": "comm fraction bound, 4x2 mesh, zero-overlap worst case",
+        "vs_baseline": 0.0,
+        "fused_ms_per_step": round(t_fused * 1e3, 4),
+        "sharded_1x1_ms_per_step": round(t_1x1 * 1e3, 4),
+        "exchange_overhead_fraction": round(
+            max(0.0, (t_1x1 - t_fused) / t_1x1), 4),
+        "collective_bytes_per_step_4x2": rep["bytes"],
+        "ici_link_GBps_assumed": ici_gbps,
+        "comm_seconds_per_step_bound": comm_s,
+    }
+    print(json.dumps(out))
 
 
 def main(workload: str = "default"):
@@ -96,12 +236,15 @@ def main(workload: str = "default"):
     jax.block_until_ready(ok)
     assert bool(ok), "stability guard tripped in benchmark"
 
-    # the tunneled chip is timing-noisy: take the best of several windows
+    # the tunneled chip is timing-noisy: take the best of several
+    # windows; barrier by TRANSFERRING the flag (bool()) — on the
+    # tunneled platform block_until_ready alone can return before
+    # execution completes, which would read as a bogus-fast window
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         carry, ok = run_j(carry)
-        jax.block_until_ready(ok)
+        assert bool(ok)
         best = min(best, time.perf_counter() - t0)
 
     points = basin.nx * basin.ny
@@ -132,4 +275,10 @@ def main(workload: str = "default"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "default")
+    mode = sys.argv[1] if len(sys.argv) > 1 else "default"
+    if mode == "weak_scaling":
+        bench_weak_scaling()
+    elif mode == "halo_overlap":
+        bench_halo_overlap()
+    else:
+        main(mode)

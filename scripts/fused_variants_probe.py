@@ -62,9 +62,11 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
     assert bool(ok)
     best = float("inf")
     for _ in range(windows):
+        # bool(ok) transfers the flag — a true barrier; plain
+        # block_until_ready can return early on the tunneled platform
         t0 = time.perf_counter()
         carry, ok = run(carry)
-        jax.block_until_ready(ok)
+        assert bool(ok)
         best = min(best, time.perf_counter() - t0)
     ms = best / n_inner * 1e3
     pts = basin.nx * basin.ny
@@ -99,6 +101,8 @@ VARIANTS = {
     "rslu96": dict(tx=96, trans=1, static_rslu=True, vmem=64 * 1024 * 1024),
     "rslu128x2b": dict(tx=128, trans=1, static_rslu=True, steps_per_call=2,
                        vmem=100 * 1024 * 1024),
+    "rslu96x2": dict(tx=96, trans=1, static_rslu=True, steps_per_call=2,
+                     vmem=80 * 1024 * 1024),
     "rslu32x2": dict(tx=32, trans=1, static_rslu=True, steps_per_call=2,
                      vmem=48 * 1024 * 1024),
     # round 3: deeper chaining (margin 16) — streamed passes per step
