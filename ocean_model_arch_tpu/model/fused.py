@@ -69,14 +69,22 @@ class FusedSWModel:
         # it, init_data.f90:76-77); a nonzero constant enables the fused
         # stress/diffusion branch
         self.mu_const = float(mu_const)
+        # spatially-constant bathymetry (the reference's shipped default:
+        # flat 100 m) folds the hrludxdy static plane into a scalar —
+        # one fewer streamed window per tile (fast mode + ffs only)
+        hr_np = np.asarray(grid.hhq_rest, np.float32)
+        self.hr_const = (float(hr_np.flat[0])
+                         if np.ptp(hr_np) == 0.0 else None)
         if static_rslu:
             if self.metrics_2d:
                 dxdy = met[0] * met[1]               # (Xs, Ys) planes
             else:
                 dxdy = (met[0] * met[1])[None, :]    # (1, Ys) profile
-            names = fsk.plane_names(cfg.sw.full_free_surface,
-                                    cfg.sw.ksw_lat, self.mu_const,
-                                    self.metrics_2d)
+            names = fsk.plane_names(
+                cfg.sw.full_free_surface, cfg.sw.ksw_lat, self.mu_const,
+                self.metrics_2d,
+                hr_const=(self.hr_const if not self.metrics_2d
+                          else None))
             # fast mode: fold the interpolation metric factors into the
             # rslu planes (one multiply per depth interpolation)
             recips = (None if self.metrics_2d else
@@ -110,7 +118,8 @@ class FusedSWModel:
             self.mu_const, n_tracers=self.n_tracers, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
             rslu_planes=rslu, steps_per_call=self.steps_per_call,
-            tile_guard=self.tile_guard, ty=ty, my=my)
+            tile_guard=self.tile_guard, ty=ty, my=my,
+            hr_const=self.hr_const)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------

@@ -294,26 +294,52 @@ class FusedSharded2DModel:
         return planes
 
     # ------------------------------------------------------------------
+    def _pack_maps(self):
+        """Precomputed (numpy, cached) gather maps between the physical
+        (nx, ny) layout and the band-major (px*Xpad, py*Ymax) carry
+        layout — pack/extract then cost ONE fancy-index op per field
+        instead of a px*py loop of dispatches."""
+        if getattr(self, "_pk", None) is not None:
+            return self._pk
+        nx, ny = self.grid.nx, self.grid.ny
+        # band-major index -> (band, local offset)
+        gr = np.arange(self.px * self.Xpad)
+        gi, gl = gr // self.Xpad, gr % self.Xpad
+        src_r = self.x_edges[gi] + gl                 # physical row
+        vr = gl < np.diff(self.x_edges)[gi]
+        vr &= src_r < nx
+        gc = np.arange(self.py * self.Ymax)
+        gj, gm = gc // self.Ymax, gc % self.Ymax
+        src_c = self.y_edges[gj] + gm
+        vc = gm < np.diff(self.y_edges)[gj]
+        vc &= src_c < ny
+        valid = vr[:, None] & vc[None, :]
+        src_r = np.where(vr, src_r, 0)
+        src_c = np.where(vc, src_c, 0)
+        # physical index -> band-major index (cuts partition [0, nx))
+        pr = np.arange(nx)
+        bi = np.searchsorted(self.x_edges, pr, side="right") - 1
+        bi = np.clip(bi, 0, self.px - 1)
+        dst_r = bi * self.Xpad + (pr - self.x_edges[bi])
+        pc = np.arange(ny)
+        bj = np.searchsorted(self.y_edges, pc, side="right") - 1
+        bj = np.clip(bj, 0, self.py - 1)
+        dst_c = bj * self.Ymax + (pc - self.y_edges[bj])
+        self._pk = (jnp.asarray(src_r), jnp.asarray(src_c),
+                    jnp.asarray(valid),
+                    jnp.asarray(dst_r), jnp.asarray(dst_c))
+        return self._pk
+
     def pack(self, state: SWState):
         """State fields -> band-major global arrays (px*Xpad, py*Ymax),
         sharded P("x","y"): shard (i,j) holds band rows
         [x_edges[i], x_edges[i+1]) x lanes [y_edges[j], y_edges[j+1])
         at local offset (0, 0)."""
-        nx, ny = self.grid.nx, self.grid.ny
+        src_r, src_c, valid, _, _ = self._pack_maps()
 
         def embed(a):
             a = jnp.asarray(a, jnp.float32)
-            g = jnp.zeros((self.px * self.Xpad, self.py * self.Ymax),
-                          jnp.float32)
-            for i in range(self.px):
-                e0 = min(int(self.x_edges[i]), nx)
-                e1 = min(int(self.x_edges[i + 1]), nx)
-                for j in range(self.py):
-                    c0 = min(int(self.y_edges[j]), ny)
-                    c1 = min(int(self.y_edges[j + 1]), ny)
-                    g = g.at[i * self.Xpad: i * self.Xpad + (e1 - e0),
-                             j * self.Ymax: j * self.Ymax + (c1 - c0)
-                             ].set(a[e0:e1, c0:c1])
+            g = jnp.where(valid, a[src_r[:, None], src_c[None, :]], 0.0)
             return jax.device_put(
                 g, NamedSharding(self.mesh, P("x", "y")))
         fields = [state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
@@ -324,21 +350,8 @@ class FusedSharded2DModel:
 
     def extract(self, carry):
         """Band-major carry arrays -> (nx, ny) global views."""
-        def gather(g):
-            rows = []
-            for i in range(self.px):
-                e0, e1 = int(self.x_edges[i]), int(self.x_edges[i + 1])
-                cols = []
-                for j in range(self.py):
-                    c0 = int(self.y_edges[j])
-                    c1 = int(self.y_edges[j + 1])
-                    cols.append(
-                        g[i * self.Xpad: i * self.Xpad + (e1 - e0),
-                          j * self.Ymax: j * self.Ymax + (c1 - c0)])
-                rows.append(jnp.concatenate(cols, axis=1))
-            return jnp.concatenate(rows, axis=0)[:self.grid.nx,
-                                                 :self.grid.ny]
-        return tuple(gather(a) for a in carry)
+        _, _, _, dst_r, dst_c = self._pack_maps()
+        return tuple(a[dst_r[:, None], dst_c[None, :]] for a in carry)
 
     # ------------------------------------------------------------------
     def make_runner(self, n_inner: int):

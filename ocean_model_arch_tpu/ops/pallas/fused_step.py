@@ -130,7 +130,7 @@ def _roll_y(a, dn: int, ys: int):
 
 
 def plane_names(ffs: int, ksw: int, mu_const: float,
-                metrics_2d: bool) -> tuple:
+                metrics_2d: bool, hr_const: float | None = None) -> tuple:
     """Static-plane set for the fast kernel, config-dependent so that no
     unused plane is streamed per tile:
 
@@ -151,7 +151,12 @@ def plane_names(ffs: int, ksw: int, mu_const: float,
     """
     if metrics_2d:
         return ("rslu_u", "rslu_v", "rslu_h")
-    names = ["rslu_u", "rslu_v", "rslu_h", "ludxdy", "hrludxdy"]
+    names = ["rslu_u", "rslu_v", "rslu_h", "ludxdy"]
+    # spatially-constant bathymetry (the reference's shipped default:
+    # flat 100 m, init_data.f90:113-114): hrludxdy == hr*ludxdy exactly,
+    # so the plane folds into a scalar — one fewer streamed window
+    if not (hr_const is not None and ffs):
+        names.append("hrludxdy")
     if ksw and mu_const != 0.0:
         names.append("wlu")
     return tuple(names)
@@ -164,7 +169,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  has_lu: bool = True, has_hr: bool = True,
                  tile_guard: bool = False, guard_col: int = 0,
                  ys_win: int | None = None, n_ty: int = 1,
-                 out_col_crop: int = 0):
+                 out_col_crop: int = 0, hr_const: float | None = None):
     M = lay.margin
     assert M >= 4 * steps_per_call, \
         f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
@@ -179,8 +184,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     # end-of-chain/profile scalings, and restructure vorticity around
     # precomputed metric-difference profiles (x-uniform metrics only)
     fast = bool(static_rslu and not metrics_2d)
+    hrc = hr_const if (hr_const is not None and ffs and fast) else None
     spx = ({n: i for i, n in enumerate(
-        plane_names(ffs, ksw, mu_const, metrics_2d))}
+        plane_names(ffs, ksw, mu_const, metrics_2d, hr_const=hrc))}
         if static_rslu else None)
 
     uniform = UNIFORM_SHAPES
@@ -335,7 +341,11 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 def aq_of(h, src):
                     # ludxdy / hrludxdy fold the lu gating and metric
                     # product into one mul-add:
-                    # aq = ssh*lu*dx*dy + hr*lu*dx*dy  (ffs=1)
+                    # aq = ssh*lu*dx*dy + hr*lu*dx*dy  (ffs=1);
+                    # constant bathymetry folds the hr plane into a
+                    # scalar: aq = (ssh + hr)*lu*dx*dy
+                    if ffs and hrc is not None:
+                        return (sl(src, hb, h) + hrc) * SP("ludxdy", h)
                     if ffs:
                         return sl(src, hb, h) * SP("ludxdy", h) \
                             + SP("hrludxdy", h)
@@ -356,9 +366,20 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             h4, h3, h2, h1 = 4 + ho, 3 + ho, 2 + ho, 1 + ho
             aq_cur4 = aq_of(h4, ssh8)
             aq_cur4y = roll_y1(h4, aq_cur4)
-            hu3 = interp_u(h3, aq_cur4, h4)
-            hv3 = interp_v(h3, aq_cur4, aq_cur4y, h4)
-            hh3 = interp_h(h3, aq_cur4, aq_cur4y, h4)
+            if fast:
+                # share the u-numerator with the h-interp: the 4-point
+                # sum is the 2-point sum plus its own lane roll
+                # (exact: rolls commute with the adds), replacing two
+                # of interp_h's adds and its (1,1)-shifted term
+                su3 = sl(aq_cur4, h4, h3) + sl(aq_cur4, h4, h3, 1, 0)
+                hu3 = su3 * _rslu_u(h3)
+                hv3 = (sl(aq_cur4, h4, h3) + sl(aq_cur4y, h4, h3)) \
+                    * _rslu_v(h3)
+                hh3 = (su3 + sl(su3, h3, h3, 0, 1)) * _rslu_h(h3)
+            else:
+                hu3 = interp_u(h3, aq_cur4, h4)
+                hv3 = interp_v(h3, aq_cur4, aq_cur4y, h4)
+                hh3 = interp_h(h3, aq_cur4, aq_cur4y, h4)
             # previous-level depths (pointwise consumers in update_uv)
             aq_prev2 = aq_of(h2, sshp8)
             hup1 = interp_u(h1, aq_prev2, h2)
@@ -444,7 +465,6 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     (v_x1_2 - v_c) * MT(16, h2)
                     - u_y1_2 * MT(17, h2)
                     + u_c * MT(18, h2), 0.0)
-                vorth2 = vort2 * sl(hh3, h3, h2)
                 ud2 = sl(uflux3, h3, h2)
                 ud2x = sl(uflux3, h3, h2, 1, 0)
                 ud2y = sl(uflux3, h3, h2, 0, 1)
@@ -458,26 +478,28 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 G2 = ((vd2 + vd2x) * 0.25) * jnp.where(wluu_b2, s2u, 0.0)
                 K2 = (vd2 + vd2y) * ((v_c + v_y1_2) * 0.25)
                 L2 = ((ud2 + ud2y) * 0.25) * s2v
-                H2 = vorth2 * s2v
-                M2 = vorth2 * s2u
                 # Coriolis (MT21 = rlh*dxb*dyb/4) merges with the
-                # advection tail: all terms sharing a shift collapse into
-                # ONE rolled array — lane/sublane rolls cost ~2.4x an ALU
-                # op (scripts/vpu_shift_probe.py), so
-                #   rx_adv + cpair_x = Px - F2 - G2 + (Px+G2)(n-1)
-                #                      + F2(m-1)
-                # with Px = H2 + C2v does the work of 4 rolls in 2.
+                # advection tail TWICE over:
+                # 1. the vorticity and Coriolis h-point factors share
+                #    their s2u/s2v multipliers, so
+                #      H2 + C2v = (vort + rlh_row)*hh * s2v  (= Px)
+                #      M2 + C2u = (vort + rlh_row)*hh * s2u  (= Ty)
+                #    — 4 full-array ops instead of 8;
+                # 2. all terms sharing a shift collapse into ONE rolled
+                #    array — lane/sublane rolls cost ~2.4x an ALU op
+                #    (scripts/vpu_shift_probe.py), so
+                #      rx_adv + cpair_x = Px - F2 - G2 + (Px+G2)(n-1)
+                #                         + F2(m-1)
+                #    does the work of 4 rolls in 2.
                 # The wlcu/wlcv selects are redundant (un1/vn1 re-select).
-                corio2 = MT(21, h2) * sl(hh3, h3, h2)
-                C2v = corio2 * s2v
-                C2u = corio2 * s2u
-                Px = H2 + C2v
+                vc2 = (vort2 + MT(21, h2)) * sl(hh3, h3, h2)
+                Px = vc2 * s2v
+                Ty = vc2 * s2u
                 Rx = Px + G2
                 acx1 = (sl(Px, h2, h1) - sl(F2, h2, h1)
                         - sl(G2, h2, h1)
                         + sl(Rx, h2, h1, 0, -1)
                         + sl(F2, h2, h1, -1, 0))
-                Ty = M2 + C2u
                 Sy = L2 - Ty
                 acy1 = (-sl(Ty, h2, h1) - sl(L2, h2, h1)
                         - sl(K2, h2, h1)
@@ -741,7 +763,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # hhq_p = h_r + sshp_new (tracer_interface.f90 bindings)
                 if fast:
                     # land values of sshn2 are killed by the ludxdy plane
-                    if ffs:
+                    if ffs and hrc is not None:
+                        aq_new2 = (sshn2 + hrc) * SP("ludxdy", h2)
+                    elif ffs:
                         aq_new2 = sshn2 * SP("ludxdy", h2) \
                             + SP("hrludxdy", h2)
                     else:
@@ -905,7 +929,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         rslu_planes=None, steps_per_call: int = 1,
                         tile_guard: bool = False,
                         guard_y_margin: bool = False,
-                        ty: int | None = None, my: int = 128):
+                        ty: int | None = None, my: int = 128,
+                        hr_const: float | None = None):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -955,12 +980,13 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         assert (lay.Ys - 2 * my) % ty == 0, (lay.Ys, ty, my)
         n_ty = (lay.Ys - 2 * my) // ty
     ys_win = lay.Ys if ty is None else ty + 2 * my
+    hrc = hr_const if (hr_const is not None and ffs and fast) else None
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
                         n_tracers, metrics_2d=metrics_2d,
                         static_rslu=static_rslu,
                         steps_per_call=steps_per_call,
                         has_lu=has_lu, has_hr=has_hr,
-                        tile_guard=tile_guard,
+                        tile_guard=tile_guard, hr_const=hr_const,
                         guard_col=(M if guard_y_margin else
                                    (my if ty is not None else 0)),
                         ys_win=ys_win, n_ty=n_ty,
@@ -1015,7 +1041,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             vmem_limit_bytes=vmem_limit_bytes)
     rslu_specs = []
     if static_rslu:
-        n_pl = len(plane_names(ffs, ksw, mu_const, metrics_2d))
+        n_pl = len(plane_names(ffs, ksw, mu_const, metrics_2d,
+                               hr_const=hrc))
         if not runtime_planes:
             assert np.asarray(rslu_planes).shape[0] == n_pl, \
                 "static planes do not match this config's plane set"

@@ -153,6 +153,41 @@ def test_fused_fast_mode_matches_jnp(with_islands):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+def test_fused_varying_bathymetry_matches_jnp():
+    """Non-flat hhq_rest keeps the hrludxdy static plane (flat
+    bathymetry folds it into a scalar — verify BOTH branches against
+    the jnp path)."""
+    nx, ny = 70, 52
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=1,
+                                               tracer_num=1),
+                      precision=prec)
+    mask = frame_of_land_mask(nx, ny)
+    rng = np.random.RandomState(11)
+    hr = 100.0 + 40.0 * rng.rand(nx, ny).astype(np.float32)
+    grid = build_grid(basin, mask, hhq_rest=hr, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fs = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2)
+    assert fs.hr_const is None      # plane branch in force
+    s6, ok2 = jax.jit(lambda s: fs.run_steps(s, 30))(fs.pack(state))
+    assert bool(ok2)
+    out = fs.unpack(s6, state)
+    for name in ("ssh", "ubrtr", "vbrtr", "ff"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
+    # flat bathymetry takes the folded-scalar branch on the same config
+    grid_f = build_grid(basin, mask, precision=prec)
+    assert FusedSWModel(grid_f, cfg, 1.0, tx=8, interpret=True,
+                        static_rslu=True).hr_const == 100.0
+
+
 def test_fused_availability_checks():
     grid, cfg, state = _case(1, False)
     assert fused_available(grid, cfg)
