@@ -75,8 +75,73 @@ def build_copy_step(lay, tx, n_static=0):
         out_shape=[shape] * 6)
 
 
+def build_copy_step_stacked(lay, tx, n_in=8, n_out=6):
+    """Same volume as build_copy_step but ONE stacked input window and
+    ONE stacked output window — isolates the per-window overhead of the
+    pipeline (DMA setup/semaphores) from pure copy bandwidth."""
+    M = fsk.MARGIN
+
+    def kernel(s_ref, met, o_ref):
+        acc = met[0:1, :] * 0.0
+        for i in range(n_in):
+            acc = acc + s_ref[i][M:-M, :]
+        for i in range(n_out):
+            o_ref[i] = acc + float(i)
+
+    in_specs = [
+        pl.BlockSpec((pl.Element(n_in), pl.Element(tx + 2 * M),
+                      pl.Element(lay.Ys)),
+                     lambda i: (0, pl.multiple_of(i * tx, 8), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pl.Element(16), pl.Element(lay.Ys)),
+                     lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec(
+        (pl.Element(n_out), pl.Element(tx), pl.Element(lay.Ys)),
+        lambda i: (0, pl.multiple_of(i * tx + M, 8), 0),
+        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n_out, lay.Xs, lay.Ys), jnp.float32)
+    return pl.pallas_call(
+        kernel, grid=(lay.X // tx,),
+        in_specs=in_specs, out_specs=[out_spec], out_shape=[shape])
+
+
+def main_stacked():
+    enable_compilation_cache()
+    nx, ny, tx = 1525, 1115, 64
+    lay = fsk.make_layout(nx, ny, tx)
+    call = build_copy_step_stacked(lay, tx)
+    key = jax.random.PRNGKey(0)
+    s = jax.random.normal(key, (8, lay.Xs, lay.Ys), jnp.float32)
+    met = jnp.ones((16, lay.Ys), jnp.float32)
+    n_inner = 2000
+
+    @jax.jit
+    def run(s8):
+        def body(c, _):
+            (o,) = call(c, met)
+            return jnp.concatenate([o, c[:2]], axis=0), None
+        s8, _ = jax.lax.scan(body, s8, None, length=n_inner)
+        return s8
+
+    s = run(s)
+    float(jnp.sum(s))          # true barrier (see vpu_op_probe)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = run(s)
+        float(jnp.sum(s))
+        best = min(best, time.perf_counter() - t0)
+    ms = best / n_inner * 1e3
+    pts = nx * ny
+    print(f"STACKED copy-through step: {ms:.4f} ms -> "
+          f"{pts / ms * 1e3 / 1e9:.2f} Gpts/s "
+          f"(1 in + 1 out window, same volume as 8+6)")
+
+
 def main():
     enable_compilation_cache()
+    if len(sys.argv) > 1 and sys.argv[1] == "stacked":
+        return main_stacked()
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 1525
     ny = int(sys.argv[2]) if len(sys.argv) > 2 else 1115
     tx = int(sys.argv[3]) if len(sys.argv) > 3 else 64
