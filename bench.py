@@ -47,9 +47,13 @@ def _run_cpu_subprocess(body: str) -> dict:
     """Run a snippet on the virtual 8-device CPU mesh (the axon platform
     pin is process-wide, so multi-device work needs a fresh process) and
     parse the single JSON line it prints."""
+    import os
     out = subprocess.run(
         [sys.executable, "-c", _CPU_SUB.format(body=body)],
-        capture_output=True, text=True, cwd=".", check=True)
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        raise RuntimeError(f"CPU subprocess failed:\n{out.stderr[-3000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -117,24 +121,19 @@ def bench_halo_overlap():
     state = init_ocean_state(grid, cfg)
     n_inner = 2000
 
-    def best_of(run, carry, windows=3):
-        carry, ok = run(carry)
-        assert bool(ok)            # true barrier (see main)
-        best = float("inf")
-        for _ in range(windows):
-            t0 = time.perf_counter()
-            carry, ok = run(carry)
-            assert bool(ok)
-            best = min(best, time.perf_counter() - t0)
-        return best / n_inner
+    from ocean_model_arch_tpu.diag.scaling import time_stepper
 
     fm = FusedSWModel(grid, cfg, 1.0, tx=64, static_rslu=True,
                       steps_per_call=2)
-    t_fused = best_of(jax.jit(lambda c: fm.run_steps(c, n_inner)),
-                      fm.pack(state))
+    t_fused = time_stepper(jax.jit(lambda c: fm.run_steps(c, n_inner)),
+                           fm.pack(state), n_inner)
+    # tile_guard off: the frame mask is all-wet, so the guard would be
+    # pure overhead and the delta would misattribute it (plus the
+    # plane-set difference) to the margin exchange
     fs = FusedSharded2DModel(grid, cfg, 1.0, 1, 1, tx=64,
-                             steps_per_call=2)
-    t_1x1 = best_of(fs.make_runner(n_inner), fs.pack(state))
+                             steps_per_call=2, tile_guard=False)
+    t_1x1 = time_stepper(fs.make_runner(n_inner), fs.pack(state),
+                         n_inner)
 
     rep = _run_cpu_subprocess("""
 from ocean_model_arch_tpu.config import (ModelConfig, Precision, SWConfig,
@@ -234,18 +233,22 @@ def main(workload: str = "default"):
     # warmup + compile
     carry, ok = run_j(carry)
     jax.block_until_ready(ok)
-    assert bool(ok), "stability guard tripped in benchmark"
+    if not bool(ok):
+        raise RuntimeError("stability guard tripped in benchmark")
 
     # the tunneled chip is timing-noisy: take the best of several
     # windows; barrier by TRANSFERRING the flag (bool()) — on the
     # tunneled platform block_until_ready alone can return before
-    # execution completes, which would read as a bogus-fast window
+    # execution completes, which would read as a bogus-fast window.
+    # (Not an assert: python -O must not strip the barrier.)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         carry, ok = run_j(carry)
-        assert bool(ok)
+        good = bool(ok)
         best = min(best, time.perf_counter() - t0)
+        if not good:
+            raise RuntimeError("stability guard tripped in benchmark")
 
     points = basin.nx * basin.ny
     pts_per_s = points * n_inner / best

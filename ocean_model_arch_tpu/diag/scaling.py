@@ -97,22 +97,30 @@ def halo_overlap_report(fs, t_step_sharded: float | None = None,
         "ici_link_GBps_assumed": ici_link_gbps,
         "comm_seconds_per_step_bound": bytes_step / (ici_link_gbps * 1e9),
     }
-    if t_step_sharded:
+    if t_step_sharded is not None:
         out["comm_fraction_bound"] = min(
             1.0, out["comm_seconds_per_step_bound"] / t_step_sharded)
     return out
 
 
-def _time_runner(runner, carry, n_inner: int, windows: int = 3) -> float:
-    """Best-of-N per-step seconds of a make_runner(n_inner) runner."""
-    carry, ok = runner(carry)
-    jax.block_until_ready(ok)
+def time_stepper(stepper, carry, n_inner: int, windows: int = 3) -> float:
+    """Best-of-N per-step seconds of a ``carry -> (carry, ok)`` stepper.
+
+    The ONE timing loop every harness must share: it barriers by
+    TRANSFERRING the ok flag — on the tunneled TPU platform
+    block_until_ready alone can return before execution completes, and
+    best-of-N then locks onto a bogus-fast window (see CLAUDE.md)."""
+    carry, ok = stepper(carry)
+    if not bool(ok):                      # transfer = true barrier
+        raise RuntimeError("stability guard tripped during warmup")
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
-        carry, ok = runner(carry)
-        jax.block_until_ready(ok)
+        carry, ok = stepper(carry)
+        good = bool(ok)                   # transfer = true barrier
         best = min(best, time.perf_counter() - t0)
+        if not good:
+            raise RuntimeError("stability guard tripped during timing")
     return best / n_inner
 
 
@@ -147,7 +155,6 @@ def weak_scaling(mesh_shapes, nx_loc: int, ny_loc: int,
     if interpret is None:     # Pallas needs interpret mode off-TPU
         interpret = devs[0].platform == "cpu"
     rows = []
-    t1 = None
     for px, py in mesh_shapes:
         n = px * py
         if n > len(devs):
@@ -165,7 +172,7 @@ def weak_scaling(mesh_shapes, nx_loc: int, ny_loc: int,
                                      devices=devs[:n],
                                      interpret=interpret,
                                      steps_per_call=steps_per_call)
-            t = _time_runner(fs.make_runner(n_inner), fs.pack(state),
+            t = time_stepper(fs.make_runner(n_inner), fs.pack(state),
                              n_inner, windows)
             cbytes = halo_bytes_per_step(fs) if n > 1 else 0
         else:
@@ -174,34 +181,27 @@ def weak_scaling(mesh_shapes, nx_loc: int, ny_loc: int,
             stepped = make_sharded_step(grid_s, cfg, mesh,
                                         n_inner=n_inner)
             tau = np.float32(1.0)
-            st, ok = stepped(state_s, tau)
-            jax.block_until_ready(ok)
-            best = float("inf")
-            for _ in range(windows):
-                t0 = time.perf_counter()
-                st, ok = stepped(st, tau)
-                jax.block_until_ready(ok)
-                best = min(best, time.perf_counter() - t0)
-            t = best / n_inner
+            t = time_stepper(lambda st: stepped(st, tau), state_s,
+                             n_inner, windows)
             cbytes = 0
-        if t1 is None:
-            t1 = t
-        row = {"mesh": [px, py], "devices": n,
-               "points": nx * ny,
-               "step_seconds": t,
-               "points_per_sec": nx * ny / t,
-               # true weak-scaling efficiency: each device is real
-               # hardware, so ideal t(N) == t(1)
-               "efficiency": t1 / t,
-               # shared-core form: a VIRTUAL mesh timeshares one host's
-               # cores, so ideal t(N) == N*t(1); this isolates the
-               # collective + seam overhead the virtual mesh CAN see
-               "efficiency_work_normalized": n * t1 / t,
-               "collective_bytes_per_step": cbytes}
-        rows.append(row)
+        rows.append({"mesh": [px, py], "devices": n,
+                     "points": nx * ny,
+                     "step_seconds": t,
+                     "points_per_sec": nx * ny / t,
+                     "collective_bytes_per_step": cbytes})
         if verbose:
-            print(f"WEAK: {px}x{py}  {t * 1e3:8.3f} ms/step  "
-                  f"eff {row['efficiency']:.3f}", flush=True)
+            print(f"WEAK: {px}x{py}  {t * 1e3:8.3f} ms/step", flush=True)
+    # baseline = the SMALLEST mesh timed, wherever it appears in the list
+    t1 = min(rows, key=lambda r: r["devices"])["step_seconds"]
+    for r in rows:
+        # true weak-scaling efficiency: each device is real hardware,
+        # so ideal t(N) == t(1)
+        r["efficiency"] = t1 / r["step_seconds"]
+        # shared-core form: a VIRTUAL mesh timeshares one host's cores,
+        # so ideal t(N) == N*t(1); this isolates the collective + seam
+        # overhead the virtual mesh CAN see
+        r["efficiency_work_normalized"] = \
+            r["devices"] * t1 / r["step_seconds"]
     shared_cores = devs[0].platform == "cpu"
     return {"nx_loc": nx_loc, "ny_loc": ny_loc, "path": path,
             "shared_cores": shared_cores,

@@ -231,10 +231,18 @@ class FusedSharded2DModel:
 
         # ---- static mask/reciprocal planes (fast mode) -------------------
         self.static_rslu = bool(static_rslu)
+        # constant bathymetry folds the hrludxdy plane into a scalar
+        # (exactness needs hr constant only on wet cells — ludxdy is 0
+        # elsewhere — so the physical-field check is conservative)
+        hr_np = np.asarray(grid.hhq_rest, np.float32)
+        self.hr_const = (float(hr_np.flat[0])
+                         if np.ptp(hr_np) == 0.0 else None)
         if self.static_rslu:
-            names = fsk.plane_names(cfg.sw.full_free_surface,
-                                    cfg.sw.ksw_lat, self.mu_const,
-                                    self.metrics_2d)
+            names = fsk.plane_names(
+                cfg.sw.full_free_surface, cfg.sw.ksw_lat, self.mu_const,
+                self.metrics_2d,
+                hr_const=(self.hr_const if not self.metrics_2d
+                          else None))
             if self.metrics_2d:
                 dxdy = met_g[0] * met_g[1]
                 recips = None
@@ -256,7 +264,8 @@ class FusedSharded2DModel:
             interpret=interpret, metrics_2d=self.metrics_2d,
             rslu_planes=(True if self.static_rslu else None),
             steps_per_call=self.steps_per_call,
-            tile_guard=self.tile_guard, guard_y_margin=True)
+            tile_guard=self.tile_guard, guard_y_margin=True,
+            hr_const=self.hr_const)
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:
