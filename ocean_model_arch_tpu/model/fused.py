@@ -31,7 +31,8 @@ class FusedSWModel:
                  mu_const: float = 0.0, static_rslu: bool = False,
                  steps_per_call: int = 1,
                  tile_guard: bool | None = None,
-                 ty: int | None = None, my: int = 128):
+                 ty: int | None = None, my: int = 128,
+                 stacked: bool = False):
         """``ty``: split the lane extent into (tx x ty) tiles with
         my-lane margins so the wet guard elides land in BOTH axes —
         worth it on realistic coastline masks (Azov: 35-45% of tiles are
@@ -119,7 +120,8 @@ class FusedSWModel:
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
             rslu_planes=rslu, steps_per_call=self.steps_per_call,
             tile_guard=self.tile_guard, ty=ty, my=my,
-            hr_const=self.hr_const)
+            hr_const=self.hr_const, stacked=stacked)
+        self.stacked = bool(stacked)
         self._lu_s = jnp.asarray(lu_s)
 
     # -- state conversion ------------------------------------------------
@@ -132,13 +134,16 @@ class FusedSWModel:
             raise ValueError("state.mu does not match kernel mu_const")
 
     def pack(self, state: SWState):
-        """SWState -> (6 + 2*T)-tuple in fused layout (jit-safe)."""
+        """SWState -> (6 + 2*T)-tuple in fused layout (jit-safe); the
+        stacked form returns ONE (6+2T, Xs, Ys) array instead."""
         e = lambda a: fsk.embed(self.lay, a)
         carry = [e(state.ssh), e(state.sshp), e(state.ubrtr),
                  e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp)]
         for t in range(self.n_tracers):
             carry.append(e(state.ff[t]))
             carry.append(e(state.ffp[t]))
+        if self.stacked:
+            return jnp.stack(carry)
         return tuple(carry)
 
     def unpack(self, s6, template: SWState) -> SWState:
@@ -187,14 +192,21 @@ class FusedSWModel:
             raise ValueError(f"n_steps={n_steps} not a multiple of "
                              f"steps_per_call={spc}")
 
-        def body(c, _):
-            fields, mx = c
-            fields, tmax = self.step6(*fields)
-            return (fields, jnp.maximum(mx, jnp.max(tmax))), None
+        if self.stacked:
+            def body(c, _):
+                S, mx = c
+                S, tmax = self.step6(S)
+                return (S, jnp.maximum(mx, jnp.max(tmax))), None
+            carry0 = (s6, jnp.zeros((), jnp.float32))
+        else:
+            def body(c, _):
+                fields, mx = c
+                fields, tmax = self.step6(*fields)
+                return (fields, jnp.maximum(mx, jnp.max(tmax))), None
+            carry0 = (tuple(s6), jnp.zeros((), jnp.float32))
 
-        (s6, mx), _ = jax.lax.scan(
-            body, (tuple(s6), jnp.zeros((), jnp.float32)), None,
-            length=n_steps // spc)
+        (s6, mx), _ = jax.lax.scan(body, carry0, None,
+                                   length=n_steps // spc)
         ok = mx < swk.SSH_ERR_BOUND        # NaN compares False
         return s6, ok
 

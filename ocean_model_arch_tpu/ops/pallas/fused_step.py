@@ -169,7 +169,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  has_lu: bool = True, has_hr: bool = True,
                  tile_guard: bool = False, guard_col: int = 0,
                  ys_win: int | None = None, n_ty: int = 1,
-                 out_col_crop: int = 0, hr_const: float | None = None):
+                 out_col_crop: int = 0, hr_const: float | None = None,
+                 stacked: bool = False):
     M = lay.margin
     assert M >= 4 * steps_per_call, \
         f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
@@ -222,16 +223,30 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         if has_hr:
             hr8 = refs[k][...]
             k += 1
-        ssh8, sshp8, u8, up8, v8, vp8 = (r[...] for r in refs[k:k + 6])
-        k += 6
+        if stacked:
+            # ONE (6+2T, rows, Ys) window carries the whole state: the
+            # pipeline issues a single input DMA + a single output DMA
+            # per tile instead of 12+ (per-window setup dominates the
+            # copy floor — scripts/roofline_probe.py stacked mode)
+            s_ref = refs[k]
+            k += 1
+            ssh8, sshp8, u8, up8, v8, vp8 = (s_ref[i] for i in range(6))
+        else:
+            ssh8, sshp8, u8, up8, v8, vp8 = (r[...]
+                                             for r in refs[k:k + 6])
+            k += 6
         met_ref = refs[k]
         k += 1
         planes_ref = None
         if static_rslu:
             planes_ref = refs[k]
             k += 1
-        tr8 = [r[...] for r in refs[k:k + 2 * n_tracers]]  # ff_i, ffp_i
-        outs = refs[k + 2 * n_tracers:-1]
+        if stacked:
+            tr8 = [s_ref[6 + i] for i in range(2 * n_tracers)]
+            out_ref = refs[-2]         # (6+2T, tx, Ys) stacked output
+        else:
+            tr8 = [r[...] for r in refs[k:k + 2 * n_tracers]]
+            outs = refs[k + 2 * n_tracers:-1]
         omax_ref = refs[-1]   # (8, 128) VMEM block: max |ssh|, this tile
 
         # Metric planes: 0 dx, 1 dy, 2 dxt, 3 dyt, 4 dxh, 5 dyh, 6 dxb,
@@ -886,8 +901,12 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         else:
             final = [x[:, cc:-cc] if cc else x
                      for x in (*state, *tracers)]
-        for o, x in zip(outs, final):
-            o[...] = x
+        if stacked:
+            for i, x in enumerate(final):
+                out_ref[i] = x
+        else:
+            for o, x in zip(outs, final):
+                o[...] = x
         omax_ref[...] = jnp.broadcast_to(mx, (8, 128))
 
     if not tile_guard:
@@ -900,7 +919,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         water. All-land (or all-pad) tiles skip the whole step and write
         exact zeros — the value land cells hold by construction."""
         n_out = 6 + 2 * n_tracers
-        outs = refs[len(refs) - n_out - 1:-1]
+        outs = (refs[-2:-1] if stacked
+                else refs[len(refs) - n_out - 1:-1])
         omax_ref = refs[-1]
         tile = pl.program_id(0)
         if n_ty > 1:          # 2D (x, y) grid: flat wet-flag index
@@ -930,7 +950,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         tile_guard: bool = False,
                         guard_y_margin: bool = False,
                         ty: int | None = None, my: int = 128,
-                        hr_const: float | None = None):
+                        hr_const: float | None = None,
+                        stacked: bool = False):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -981,6 +1002,9 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         n_ty = (lay.Ys - 2 * my) // ty
     ys_win = lay.Ys if ty is None else ty + 2 * my
     hrc = hr_const if (hr_const is not None and ffs and fast) else None
+    if stacked:
+        assert lu_s is not None and ty is None, \
+            "stacked form: unsharded driver, x-strip tiling only"
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
                         n_tracers, metrics_2d=metrics_2d,
                         static_rslu=static_rslu,
@@ -990,7 +1014,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         guard_col=(M if guard_y_margin else
                                    (my if ty is not None else 0)),
                         ys_win=ys_win, n_ty=n_ty,
-                        out_col_crop=(my if ty is not None else 0))
+                        out_col_crop=(my if ty is not None else 0),
+                        stacked=stacked)
 
     n_tiles = lay.X // tx
 
@@ -1053,9 +1078,19 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         xy(*a)[1] * ty if ty else 0),
             memory_space=pltpu.VMEM)]
     n_base = int(has_lu) + int(has_hr)
-    in_specs = ([in_spec() for _ in range(n_base + 6)] + [met_spec]
-                + rslu_specs
-                + [in_spec() for _ in range(2 * n_tracers)])
+    n_f = 6 + 2 * n_tracers
+    if stacked:
+        state_spec = pl.BlockSpec(
+            (pl.Element(n_f), pl.Element(tx + 2 * M),
+             pl.Element(lay.Ys)),
+            lambda i, *_: (0, pl.multiple_of(i * tx, 8), 0),
+            memory_space=pltpu.VMEM)
+        in_specs = ([in_spec() for _ in range(n_base)] + [state_spec]
+                    + [met_spec] + rslu_specs)
+    else:
+        in_specs = ([in_spec() for _ in range(n_base + 6)] + [met_spec]
+                    + rslu_specs
+                    + [in_spec() for _ in range(2 * n_tracers)])
     # per-tile |ssh| max rides out as one broadcast (8, 128) VMEM block
     # per tile (4 KB/tile — noise next to the field outputs; smaller
     # blocks hit Mosaic's 8x128 block minimum, and rank-1 SMEM blocks
@@ -1067,7 +1102,16 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         memory_space=pltpu.VMEM)
     max_shape = jax.ShapeDtypeStruct((n_tiles * n_ty * 8, 128),
                                      jnp.float32)
-    out_specs = [out_spec() for _ in range(n_out)] + [max_spec]
+    if stacked:
+        out_specs = [pl.BlockSpec(
+            (pl.Element(n_f), pl.Element(tx), pl.Element(lay.Ys)),
+            lambda i, *_: (0, pl.multiple_of(i * tx + M, 8), 0),
+            memory_space=pltpu.VMEM), max_spec]
+        out_shapes = [jax.ShapeDtypeStruct((n_f, lay.Xs, lay.Ys),
+                                           jnp.float32), max_shape]
+    else:
+        out_specs = [out_spec() for _ in range(n_out)] + [max_spec]
+        out_shapes = [shape] * n_out + [max_shape]
     grid = (n_tiles,) if ty is None else (n_tiles, n_ty)
     if tile_guard:
         # per-tile wet flags ride as a scalar-prefetch SMEM plane; the
@@ -1079,7 +1123,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=out_specs),
-            out_shape=[shape] * n_out + [max_shape],
+            out_shape=out_shapes,
             interpret=interpret,
             **extra,
         )
@@ -1089,7 +1133,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            out_shape=[shape] * n_out + [max_shape],
+            out_shape=out_shapes,
             interpret=interpret,
             **extra,
         )
@@ -1137,6 +1181,13 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         my + j * ty: my + (j + 1) * ty] > 0.5).any()
                  for i in range(n_tiles) for j in range(n_ty)], np.int32)
         pre = (jnp.asarray(tw),)
+
+    if stacked:
+        def step_stacked(S):
+            """S: (6+2T, Xs, Ys) stacked state -> (S', tile_max)."""
+            res = call(*pre, *base, S, met, *statics)
+            return res[0], res[1]
+        return step_stacked
 
     def step(ssh, sshp, u, up, v, vp, *tracers):
         res = call(*pre, *base, ssh, sshp, u, up, v, vp, met,

@@ -23,7 +23,7 @@ from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 
 def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                   static_rslu=False, steps_per_call=1, ty=None, my=128,
-                  mask="frame"):
+                  mask="frame", stacked=False):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -48,7 +48,8 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
     state = init_ocean_state(grid, cfg)
     fm = FusedSWModel(grid, cfg, 1.0, tx=tx, vmem_limit_bytes=vmem,
                       static_rslu=static_rslu,
-                      steps_per_call=steps_per_call, ty=ty, my=my)
+                      steps_per_call=steps_per_call, ty=ty, my=my,
+                      stacked=stacked)
     carry = fm.pack(state)
 
     @jax.jit
@@ -119,6 +120,11 @@ VARIANTS = {
                       vmem=120 * 1024 * 1024),
     "rslu256x2": dict(tx=256, trans=1, static_rslu=True, steps_per_call=2,
                       vmem=110 * 1024 * 1024),
+    # round 3: single stacked state window per tile (1 in + 1 out DMA
+    # instead of 12 — per-window setup dominates the copy floor)
+    "stacked64x2": dict(tx=64, trans=1, static_rslu=True,
+                        steps_per_call=2, vmem=64 * 1024 * 1024,
+                        stacked=True),
     # round 3: 2D (tx x ty) land elision on the real Azov coastline
     "azov_ctl": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
                      vmem=64 * 1024 * 1024, mask="azov"),

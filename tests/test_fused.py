@@ -153,6 +153,44 @@ def test_fused_fast_mode_matches_jnp(with_islands):
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+@pytest.mark.parametrize("tracers,guard", [(0, False), (2, True)])
+def test_fused_stacked_state_bitexact(tracers, guard):
+    """The stacked form carries all state fields in ONE window per tile
+    (single input + single output DMA — per-window setup dominates the
+    copy floor). Same arithmetic, different DMA layout: results match
+    the per-field-window form to within XLA's FMA-contraction slack
+    (the two graph shapes fuse differently — same caveat as the
+    steps_per_call chaining test)."""
+    nx, ny = 70, 52
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=int(tracers > 0),
+                                  tracer_num=tracers),
+                      precision=Precision.f32())
+    mask = frame_of_land_mask(nx, ny)
+    if guard:
+        mask[40:64, :] = 1        # an all-land x-strip activates it
+    grid = build_grid(basin, mask, precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+    f1 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2,
+                      tile_guard=guard)
+    f2 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2,
+                      tile_guard=guard, stacked=True)
+    a, ok1 = f1.run_steps(f1.pack(state), 20)
+    b, ok2 = f2.run_steps(f2.pack(state), 20)
+    assert bool(ok1) and bool(ok2)
+    for i, x in enumerate(a):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(b[i]), rtol=1e-6, atol=1e-11,
+            err_msg=f"stacked field {i} diverged")
+    A = f1.unpack(a, state)
+    B = f2.unpack(b, state)
+    np.testing.assert_allclose(np.asarray(A.ssh), np.asarray(B.ssh),
+                               rtol=1e-6, atol=1e-11)
+
+
 def test_fused_varying_bathymetry_matches_jnp():
     """Non-flat hhq_rest keeps the hrludxdy static plane (flat
     bathymetry folds it into a scalar — verify BOTH branches against
