@@ -32,7 +32,7 @@ class FusedSWModel:
                  steps_per_call: int = 1,
                  tile_guard: bool | None = None,
                  ty: int | None = None, my: int = 128,
-                 stacked: bool = False):
+                 stacked: bool = False, rcp_div: bool = False):
         """``ty``: split the lane extent into (tx x ty) tiles with
         my-lane margins so the wet guard elides land in BOTH axes —
         worth it on realistic coastline masks (Azov: 35-45% of tiles are
@@ -120,7 +120,7 @@ class FusedSWModel:
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
             rslu_planes=rslu, steps_per_call=self.steps_per_call,
             tile_guard=self.tile_guard, ty=ty, my=my,
-            hr_const=self.hr_const, stacked=stacked)
+            hr_const=self.hr_const, stacked=stacked, rcp_div=rcp_div)
         self.stacked = bool(stacked)
         self._lu_s = jnp.asarray(lu_s)
 

@@ -170,7 +170,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  tile_guard: bool = False, guard_col: int = 0,
                  ys_win: int | None = None, n_ty: int = 1,
                  out_col_crop: int = 0, hr_const: float | None = None,
-                 stacked: bool = False):
+                 stacked: bool = False, rcp_div: bool = False):
     M = lay.margin
     assert M >= 4 * steps_per_call, \
         f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
@@ -705,14 +705,36 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 else:
                     grx = slx + rx_dif1 + cpair_x
                     gry = sly + ry_dif1 - cpair_y
-                un1 = jnp.where(
-                    wlcu1,
-                    (up1 * hup1 + grx * ((2.0 * tau) * MT(10, h1))) / hu1,
-                    0.0)
-                vn1 = jnp.where(
-                    wlcv1,
-                    (vp1 * hvp1 + gry * ((2.0 * tau) * MT(11, h1))) / hv1,
-                    0.0)
+                if rcp_div:
+                    # f32 divide costs +1.9 carriers on this VPU;
+                    # approx reciprocal + 1 Newton step (~1 ulp) costs
+                    # +1.27 (scripts/vpu_op_probe.py). The 1/0 at land
+                    # points stays inf in the discarded select branch.
+                    ru = pl.reciprocal(hu1, approx=True)
+                    ru = ru * (2.0 - hu1 * ru)
+                    rv = pl.reciprocal(hv1, approx=True)
+                    rv = rv * (2.0 - hv1 * rv)
+                    un1 = jnp.where(
+                        wlcu1,
+                        (up1 * hup1
+                         + grx * ((2.0 * tau) * MT(10, h1))) * ru,
+                        0.0)
+                    vn1 = jnp.where(
+                        wlcv1,
+                        (vp1 * hvp1
+                         + gry * ((2.0 * tau) * MT(11, h1))) * rv,
+                        0.0)
+                else:
+                    un1 = jnp.where(
+                        wlcu1,
+                        (up1 * hup1
+                         + grx * ((2.0 * tau) * MT(10, h1))) / hu1,
+                        0.0)
+                    vn1 = jnp.where(
+                        wlcv1,
+                        (vp1 * hvp1
+                         + gry * ((2.0 * tau) * MT(11, h1))) / hv1,
+                        0.0)
             else:
                 bpm_u = MT(2, h1) * MT(5, h1) * inv2tau  # dxt*dyh/2tau
                 bpm_v = MT(3, h1) * MT(4, h1) * inv2tau  # dyt*dxh/2tau
@@ -951,7 +973,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         guard_y_margin: bool = False,
                         ty: int | None = None, my: int = 128,
                         hr_const: float | None = None,
-                        stacked: bool = False):
+                        stacked: bool = False, rcp_div: bool = False):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -1015,7 +1037,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                                    (my if ty is not None else 0)),
                         ys_win=ys_win, n_ty=n_ty,
                         out_col_crop=(my if ty is not None else 0),
-                        stacked=stacked)
+                        stacked=stacked, rcp_div=rcp_div)
 
     n_tiles = lay.X // tx
 

@@ -23,7 +23,7 @@ from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 
 def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                   static_rslu=False, steps_per_call=1, ty=None, my=128,
-                  mask="frame", stacked=False):
+                  mask="frame", stacked=False, rcp_div=False):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -49,7 +49,7 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
     fm = FusedSWModel(grid, cfg, 1.0, tx=tx, vmem_limit_bytes=vmem,
                       static_rslu=static_rslu,
                       steps_per_call=steps_per_call, ty=ty, my=my,
-                      stacked=stacked)
+                      stacked=stacked, rcp_div=rcp_div)
     carry = fm.pack(state)
 
     @jax.jit
@@ -125,6 +125,10 @@ VARIANTS = {
     "stacked64x2": dict(tx=64, trans=1, static_rslu=True,
                         steps_per_call=2, vmem=64 * 1024 * 1024,
                         stacked=True),
+    # round 3: momentum divides -> approx reciprocal + 1 Newton step
+    # (div costs +1.9 carriers, rcpn +1.27 — vpu_op_probe.py)
+    "rcpn64x2": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                     vmem=64 * 1024 * 1024, rcp_div=True),
     # round 3: 2D (tx x ty) land elision on the real Azov coastline
     "azov_ctl": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
                      vmem=64 * 1024 * 1024, mask="azov"),

@@ -191,6 +191,36 @@ def test_fused_stacked_state_bitexact(tracers, guard):
                                rtol=1e-6, atol=1e-11)
 
 
+def test_fused_rcp_div_close_to_exact():
+    """rcp_div swaps the momentum update's two f32 divides for an
+    approximate reciprocal + one Newton step (+1.27 vs +1.9 carriers,
+    scripts/vpu_op_probe.py). ~1 ulp per step accumulates; over 20
+    steps the trajectory must stay within f32-production slack of the
+    exact-divide form (the reference momentum update's /(bp) divide,
+    vel_ssh.f90:161-190)."""
+    nx, ny = 70, 52
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=Precision.f32())
+    grid = build_grid(basin, frame_of_land_mask(nx, ny),
+                      precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+    f1 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2)
+    f2 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2, rcp_div=True)
+    a, ok1 = f1.run_steps(f1.pack(state), 20)
+    b, ok2 = f2.run_steps(f2.pack(state), 20)
+    assert bool(ok1) and bool(ok2)
+    A = f1.unpack(a, state)
+    B = f2.unpack(b, state)
+    for name in ("ssh", "ubrtr", "vbrtr"):
+        x = np.asarray(getattr(A, name))
+        y = np.asarray(getattr(B, name))
+        rel = np.abs(x - y).max() / max(np.abs(x).max(), 1e-30)
+        assert rel < 1e-4, (name, rel)
+
+
 def test_fused_varying_bathymetry_matches_jnp():
     """Non-flat hhq_rest keeps the hrludxdy static plane (flat
     bathymetry folds it into a scalar — verify BOTH branches against
