@@ -125,6 +125,10 @@ VARIANTS = {
     "stacked64x2": dict(tx=64, trans=1, static_rslu=True,
                         steps_per_call=2, vmem=64 * 1024 * 1024,
                         stacked=True),
+    # round 3: tx=80 — margin redundancy 1.2 vs 1.25 at 64, between
+    # the known-good 64 and the known-slower 96
+    "rslu80x2": dict(tx=80, trans=1, static_rslu=True, steps_per_call=2,
+                     vmem=72 * 1024 * 1024),
     # round 3: momentum divides -> approx reciprocal + 1 Newton step
     # (div costs +1.9 carriers, rcpn +1.27 — vpu_op_probe.py)
     "rcpn64x2": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
