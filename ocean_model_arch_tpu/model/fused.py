@@ -18,7 +18,6 @@ from ..core.grid import Grid
 from ..core.state import SWState
 from ..ops.pallas import fused_step as fsk
 from ..ops import sw_kernels as swk
-from .step import GlobalHalo
 
 
 class FusedSWModel:
@@ -113,6 +112,12 @@ class FusedSWModel:
                 not (lu_s[m + i * tx: m + (i + 1) * tx]
                      > 0.5).any() for i in range(n_tiles))
         self.tile_guard = bool(tile_guard)
+        if rcp_div and not (static_rslu and not self.metrics_2d):
+            # the flag is only consulted in the kernel's fast branch;
+            # silently handing back exact divides would misreport what
+            # was measured
+            raise ValueError("rcp_div requires fast mode "
+                             "(static_rslu=True and 1D metrics)")
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
@@ -163,21 +168,8 @@ class FusedSWModel:
             # post-rotation ffn == ff at wet points (tracer_next_step)
             st = dataclasses.replace(st, ff=ff, ffp=ffp, ffn=ff)
         # regenerate depths exactly as the end-of-step hh_init would
-        from ..ops import depth_kernels as dk
-        hp = GlobalHalo()
-        ex, zp = hp.ex, hp.zp
-        g = self.grid
-        (hq, hqp, hqn, hu, hup, hun, hv, hvp, hvn, hh, hhp, hhn) = dk.hh_init(
-            self.cfg.sw.full_free_surface, ex(g.lu), zp(g.llu), zp(g.llv),
-            zp(g.luh), ex(g.dx), ex(g.dy), zp(g.dxt), zp(g.dyt),
-            zp(g.dxh), zp(g.dyh), zp(g.dxb), zp(g.dyb),
-            ex(ssh), ex(sshp), ex(g.hhq_rest),
-            zp(st.hhu), zp(st.hhu_p), zp(st.hhu_n),
-            zp(st.hhv), zp(st.hhv_p), zp(st.hhv_n),
-            zp(st.hhh), zp(st.hhh_p), zp(st.hhh_n))
-        return dataclasses.replace(
-            st, hhq=hq, hhq_p=hqp, hhq_n=hqn, hhu=hu, hhu_p=hup, hhu_n=hun,
-            hhv=hv, hhv_p=hvp, hhv_n=hvn, hhh=hh, hhh_p=hhp, hhh_n=hhn)
+        from .step import reinit_depth_families
+        return reinit_depth_families(st, self.grid, self.cfg)
 
     # -- running ---------------------------------------------------------
     def run_steps(self, s6, n_steps: int):

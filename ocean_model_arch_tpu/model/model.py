@@ -81,6 +81,27 @@ class OceanModel:
 
         # Mesh selection (parallel.par analog): 1x1 -> single-device path
         px, py = cfg.parallel.mesh_x, cfg.parallel.mesh_y
+        if cfg.parallel.mod_decomposition not in (0, 1, 2):
+            # parity with abort_model('Unknown decomposition mode!')
+            # (decomposition.f90:888-890)
+            raise ValueError("Unknown decomposition mode! "
+                             f"(mod_decomposition="
+                             f"{cfg.parallel.mod_decomposition})")
+        self._file_cuts = None
+        if cfg.parallel.mod_decomposition == 2:
+            # cut lines read back from a decomposition.txt-format file
+            # (the format the reference writes at debug_level >= 3,
+            # decomposition.f90:895-909, but never reads)
+            from ..parallel.decomposition import (cuts_from_decomposition,
+                                                  read_decomposition)
+            dec = read_decomposition(
+                os.path.join(base_dir, cfg.parallel.file_decomposition))
+            xe, ye = cuts_from_decomposition(dec, px, py)
+            # block grids cover the significant interior [2, n-2); shard
+            # cuts span the full padded domain (the frame is land)
+            xe[0], xe[-1] = 0, basin.nx
+            ye[0], ye[-1] = 0, basin.ny
+            self._file_cuts = (xe, ye)
         self.mesh = None
         if px * py > 1:
             self.mesh = make_mesh(px, py)
@@ -208,10 +229,12 @@ class OceanModel:
             ratio = float(tiles.max() / max(tiles.mean(), 1e-12))
             # timed probe pass (the reference's compute_power measure;
             # on a lockstep single-host mesh the time is the critical
-            # path, the tile counts carry the per-shard signal)
+            # path, the tile counts carry the per-shard signal).
+            # Barrier by VALUE TRANSFER: block_until_ready alone can
+            # return early on the tunneled platform (BASELINE.md).
             t0 = _time.perf_counter()
             _, ok = fs.make_runner(n_probe)(fs.pack(self.state))
-            jax.block_until_ready(ok)
+            bool(ok)
             dt = _time.perf_counter() - t0
             hist.append((ratio, dt))
             if verbose:
@@ -238,6 +261,106 @@ class OceanModel:
                   f"(work balance {best[0]:.3f})")
         return hist
 
+    def dump_decomposition_txt(self) -> str:
+        """Write the active decomposition to RESULTS/decomposition.txt —
+        the reference's debug_level >= 3 dump
+        (decomposition.f90:895-909), driven by parallel.par's
+        parallel_dbg line. Returns the path."""
+        from ..parallel.decomposition import (BlockDecomposition,
+                                              dump_decomposition)
+        px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
+        fs = getattr(self, "_fused_sh", None)
+        if fs is not None:
+            xe = np.asarray(fs.x_edges, np.int64)
+            ye = np.asarray(fs.y_edges, np.int64)
+            xe, ye = xe.copy(), ye.copy()
+            xe[-1] = min(int(xe[-1]), self.grid.nx)
+            ye[-1] = min(int(ye[-1]), self.grid.ny)
+        elif self._file_cuts is not None:
+            xe, ye = self._file_cuts
+        else:
+            xe = ye = None
+            if self.cfg.parallel.mod_decomposition == 1 and px * py > 1:
+                from ..parallel.decomposition import (weighted_x_edges,
+                                                      weighted_y_edges)
+                im = (np.asarray(self.grid.lu) < 0.5).astype(np.int32)
+                try:
+                    xe = (weighted_x_edges(im, px) if px > 1 else
+                          np.array([0, self.grid.nx], np.int64))
+                    ye = (weighted_y_edges(im, py) if py > 1 else
+                          np.array([0, self.grid.ny], np.int64))
+                except ValueError:
+                    xe = ye = None
+            if xe is None:
+                xe = np.linspace(0, self.grid.nx, px + 1).astype(np.int64)
+                ye = np.linspace(0, self.grid.ny, py + 1).astype(np.int64)
+        wet = np.asarray(self.grid.lu) > 0.5
+        w = np.array([[wet[xe[i]:xe[i + 1], ye[j]:ye[j + 1]].sum()
+                       for j in range(py)] for i in range(px)], np.int64)
+        owner = (np.arange(px * py).reshape(px, py)).astype(np.int64)
+        path = os.path.join(self.results_dir, "decomposition.txt")
+        os.makedirs(self.results_dir, exist_ok=True)
+        dump_decomposition(
+            BlockDecomposition(px, py, w, owner, xe, ye), path)
+        return path
+
+    def locate_blowup(self, prev_state: SWState, n_batch: int):
+        """Re-run a failed window un-fused (the jnp composition) from the
+        last good state and return (k, m, n, value): the first step k
+        (1-based within the window) whose post-step check trips, and the
+        offending wet cell — the information the reference prints before
+        aborting ('ERROR!!! In the point m=, n=', vel_ssh.f90:52-58) and
+        the fused path's scalar in-VMEM reduction discards. Returns None
+        if the re-run stays stable (trajectories differ at roundoff
+        level; the window bound still stands)."""
+        from .step import reinit_depth_families
+        st = reinit_depth_families(prev_state, self.grid, self.cfg)
+        step = make_step(self.grid, self.cfg)
+        tau = self.cfg.run.tau
+        jstep = jax.jit(lambda s: step(s, tau))
+        lu = np.asarray(self.grid.lu) > 0.5
+        for k in range(n_batch):
+            st, ok = jstep(st)
+            if not bool(ok):
+                ssh = np.asarray(st.ssh)
+                bad = np.abs(np.where(lu & np.isfinite(ssh), ssh,
+                                      np.where(lu, np.inf, 0.0)))
+                m, n = np.unravel_index(int(np.argmax(bad)), bad.shape)
+                return k + 1, int(m), int(n), float(ssh[m, n])
+        return None
+
+    def _raise_blowup(self, prev_state, n_batch: int, done: int,
+                      sharded: bool = False):
+        """The stability guard tripped inside the last window: localize
+        the blow-up (step + cell + fused tile) before raising — the
+        reference aborts with the offending (m, n) every step
+        (check_ssh_err_kernel); the fused scan only carries a window-level
+        scalar, so the failed window is replayed un-fused host-side."""
+        first = done - n_batch
+        if sharded:     # padded jnp-sharded state -> plain global view
+            prev_state = crop_state(prev_state, self.cfg.basin.nx,
+                                    self.cfg.basin.ny)
+        loc = self.locate_blowup(prev_state, n_batch)
+        if loc is not None:
+            k, m, n, val = loc
+            tile = ""
+            fs = getattr(self, "_fused_sh", None)
+            fm = getattr(self, "_fused", None)
+            if fs is not None:          # sharded: tiles are per-x-band
+                i = int(np.searchsorted(fs.x_edges, m, "right")) - 1
+                t = (m - int(fs.x_edges[i])) // fs.lay.tx
+                tile = f"; shard x-band {i}, tile {t}"
+            elif fm is not None:
+                t = m // fm.lay.tx
+                tile = (f"; fused tile {t} (rows "
+                        f"{t * fm.lay.tx}..{(t + 1) * fm.lay.tx - 1})")
+            raise FloatingPointError(
+                f"SIGFPRE predict error: in the point m={m} n={n} "
+                f"ssh={val:.6g} at step {first + k}{tile}")
+        raise FloatingPointError(
+            "SIGFPRE predict error: |ssh| >= 1e4 "
+            f"within steps {first}..{done}")
+
     def _fused_sharded_runner(self, fs, n_inner: int):
         inner = fs.make_runner(n_inner)
 
@@ -262,12 +385,15 @@ class OceanModel:
             from .fused_sharded2d import FusedSharded2DModel
             if not hasattr(self, "_fused_sh"):
                 # parallel.par mod_decomposition=1 selects the weighted
-                # (equal-wet) cut lines (decomposition.f90:614-669)
+                # (equal-wet) cut lines (decomposition.f90:614-669);
+                # =2 installs the cut lines read from file_decomposition
+                fc = self._file_cuts or (None, None)
                 self._fused_sh = FusedSharded2DModel(
                     self.grid, self.cfg, tau,
                     self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y,
                     mu_const=self.state_mu_const(),
-                    weighted=self.cfg.parallel.mod_decomposition == 1)
+                    weighted=self.cfg.parallel.mod_decomposition == 1,
+                    x_edges=fc[0], y_edges=fc[1])
             return self._fused_sharded_runner(self._fused_sh, n_inner)
         if self.mesh is not None:
             stepn = make_sharded_step(self._grid_s, self.cfg, self.mesh,
@@ -368,6 +494,21 @@ class OceanModel:
                 and self._use_fused_sharded()):
             self.dynamic_load_balance(verbose=verbose)
 
+        if self._file_cuts is not None and self.mesh is not None \
+                and not self._use_fused_sharded():
+            raise ValueError(
+                "mod_decomposition=2 (cuts from file) applies to the "
+                "fused-sharded path; this run selected the uniform "
+                "jnp-sharded path which cannot honor the file's cut "
+                "lines — use mod_decomposition=0/1 or a fused-capable "
+                "config")
+        if cfg.parallel.debug_level >= 3:
+            # the reference's debug ladder writes decomposition.txt on
+            # every run at this level (decomposition.f90:895-909)
+            p = self.dump_decomposition_txt()
+            if verbose:
+                print(f"DD INFO: Print decomposition in file {p}")
+
         if verbose:
             print(self.startup_report())
             if self._use_fused_sharded():
@@ -400,15 +541,19 @@ class OceanModel:
             n_batch = min(n_out, n_total - done)
             if n_batch != n_out:
                 runner = self._make_runner(n_batch)
+            prev_state = state
             with self.timers.phase("model_step"):
                 state, ok = runner(state)
-                jax.block_until_ready(ok)
+                # transferring the flag is the barrier: bare
+                # block_until_ready can return early on the tunneled
+                # platform and the timer would read bogus-fast
+                # (BASELINE.md; diag/scaling.py::time_stepper)
+                stable = bool(ok)
             done += n_batch
             self.num_step += n_batch
-            if not bool(ok):
-                raise FloatingPointError(
-                    "SIGFPRE predict error: |ssh| >= 1e4 "
-                    f"within steps {done - n_batch}..{done}")
+            if not stable:
+                self._raise_blowup(prev_state, n_batch, done,
+                                   sharded=sharded)
             if run.output_every_steps:
                 nrec += 1
                 with self.timers.phase("output"):
@@ -439,6 +584,11 @@ class OceanModel:
             steps_done = self.num_step - run.init_step
             t_step = self.timers.acc.get("model_step", 0.0)
             pts = wet * steps_done / max(t_step, 1e-12)
-            print(self.timers.report(
-                extra={"wet_points_per_sec": f"{pts:.3e}"}))
+            # multi-process: ONE max/min-over-ranks table, printed by
+            # rank 0 (mpp_finalize, mpp.f90:272-341); the gather is
+            # collective, so every process calls it
+            rep = self.timers.reduced_report(
+                extra={"wet_points_per_sec": f"{pts:.3e}"})
+            if jax.process_index() == 0:
+                print(rep)
         return final

@@ -207,6 +207,30 @@ def tracer_step(state: SWState, grid: Grid, cfg: ModelConfig, tau,
                                flux_x=flux_x, flux_y=flux_y)
 
 
+def reinit_depth_families(state: SWState, grid: Grid,
+                          cfg: ModelConfig) -> SWState:
+    """Regenerate every depth family from (ssh, sshp) exactly as the
+    end-of-step hh_init does (shallow_water.f90:82-87): runners that
+    carry only the prognostic fields (the fused paths) use this to
+    rebuild a full SWState the jnp composition can consume."""
+    from ..ops import depth_kernels as dk
+    hp = GlobalHalo(grid.periodic_x, grid.periodic_y)
+    ex, zp = hp.ex, hp.zp
+    g = grid
+    st = state
+    (hq, hqp, hqn, hu, hup, hun, hv, hvp, hvn, hh, hhp, hhn) = dk.hh_init(
+        cfg.sw.full_free_surface, ex(g.lu), zp(g.llu), zp(g.llv),
+        zp(g.luh), ex(g.dx), ex(g.dy), zp(g.dxt), zp(g.dyt),
+        zp(g.dxh), zp(g.dyh), zp(g.dxb), zp(g.dyb),
+        ex(st.ssh), ex(st.sshp), ex(g.hhq_rest),
+        zp(st.hhu), zp(st.hhu_p), zp(st.hhu_n),
+        zp(st.hhv), zp(st.hhv_p), zp(st.hhv_n),
+        zp(st.hhh), zp(st.hhh_p), zp(st.hhh_n))
+    return dataclasses.replace(
+        st, hhq=hq, hhq_p=hqp, hhq_n=hqn, hhu=hu, hhu_p=hup, hhu_n=hun,
+        hhv=hv, hhv_p=hvp, hhv_n=hvn, hhh=hh, hhh_p=hhp, hhh_n=hhn)
+
+
 def make_step(grid: Grid, cfg: ModelConfig,
               hp=None) -> Callable:
     """Build the jittable full model step:

@@ -65,6 +65,13 @@ def margin_for(steps_per_call: int) -> int:
 # OCEAN_FUSED_UNIFORM_SHAPES=0).
 UNIFORM_SHAPES = bool(int(
     __import__("os").environ.get("OCEAN_FUSED_UNIFORM_SHAPES", "1")))
+# Narrow the chained-step frames: after each chained step, crop 4 rows
+# per side (the consumed stencil reach) so step B runs on tx+2M-8 rows
+# instead of tx+2M — recovering most of the uniform-shape graph's
+# (tx+2M)/tx redundant row work for the later steps at the cost of one
+# extra shape family (probe knob; r4 A/B).
+NARROW_CHAIN = bool(int(
+    __import__("os").environ.get("OCEAN_FUSED_NARROW_CHAIN", "0")))
 YPAD = 2            # extra land columns each side in y
 N_PROF = 24         # profile rows (9 metrics + 7 reciprocals + 6 derived)
 
@@ -249,6 +256,16 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             outs = refs[k + 2 * n_tracers:-1]
         omax_ref = refs[-1]   # (8, 128) VMEM block: max |ssh|, this tile
 
+        # Narrow-chain frame state: cur["cut"] rows are cropped from
+        # each side of the window for the current chained step; every
+        # static-plane read goes through C() so masks/metrics stay
+        # row-aligned with the narrowed state frames.
+        cur = {"cut": 0}
+
+        def C(a):
+            c = cur["cut"]
+            return a[c:-c] if c else a
+
         # Metric planes: 0 dx, 1 dy, 2 dxt, 3 dyt, 4 dxh, 5 dyh, 6 dxb,
         # 7 dyb, 8 rlh_s, 9 1/(dx*dy), 10-15 reciprocals of 2-7 (host-
         # precomputed — divisions are the dominant VPU cost otherwise).
@@ -258,7 +275,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         # site names its halo so the window is sliced like the state.
         if metrics_2d:
             def MT(j, h, dm=0, dn=0):
-                return sl(met_ref[j], M, h, dm, dn)
+                return sl(C(met_ref[j]), M, h, dm, dn)
         else:
             met = met_ref[...]      # (N_PROF, Ys) latitude profiles
 
@@ -268,7 +285,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
 
         def SP(name, h):
             """Static-plane slice (see plane_names)."""
-            return sl(planes_ref[spx[name]], M, h)
+            return sl(C(planes_ref[spx[name]]), M, h)
 
         def one_step(hb, ho, state, tracers):
             """One full model step: inputs at base halo ``hb``, outputs
@@ -276,7 +293,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             ssh8, sshp8, u8, up8, v8, vp8 = state
 
             def LU(h, dm=0, dn=0):
-                return sl(lu8, M, h, dm, dn)
+                return sl(C(lu8), M, h, dm, dn)
 
             def WLCU(h):
                 return (LU(h) * LU(h, 1, 0)) > 0.5
@@ -367,7 +384,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     return SP("hrludxdy", h)
             else:
                 def aq_of(h, src):
-                    hq = sl(hr8, M, h) + sl(src, hb, h) * float(ffs)
+                    hq = sl(C(hr8), M, h) + sl(src, hb, h) * float(ffs)
                     # (dx*dy) groups metric*metric so the chain stays 2
                     # full-array muls off the state in profile mode
                     return hq * (MT(0, h) * MT(1, h)) * LU(h)
@@ -601,7 +618,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     * (sl(s1, h3, h2, 0, 1) - sl(s1, h3, h2))
                     + (MT(7, h2) * MT(14, h2))
                     * (sl(s2, h3, h2, 1, 0) - sl(s2, h3, h2)), 0.0)
-                hq2 = sl(hr8, M, h2) + sl(ssh8, hb, h2) * float(ffs)
+                hq2 = sl(C(hr8), M, h2) + sl(ssh8, hb, h2) * float(ffs)
                 t2 = hq2 * str_t2
                 a2 = (MT(1, h2) * MT(1, h2) * mu_const) * t2
                 b2 = (MT(0, h2) * MT(0, h2) * mu_const) * t2
@@ -634,7 +651,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     + (MT(7, h2) * MT(14, h2)) * (sl(s2, h3, h2, 1, 0)
                                                   - sl(s2, h3, h2)), 0.0)
 
-                hq2 = sl(hr8, M, h2) + sl(ssh8, hb, h2) * float(ffs)
+                hq2 = sl(C(hr8), M, h2) + sl(ssh8, hb, h2) * float(ffs)
                 t2 = hq2 * str_t2              # shared T-point stress
                 a2 = (MT(1, h2) * MT(1, h2) * mu_const) * t2
                 b2 = (MT(0, h2) * MT(0, h2) * mu_const) * t2
@@ -707,9 +724,11 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     gry = sly + ry_dif1 - cpair_y
                 if rcp_div:
                     # f32 divide costs +1.9 carriers on this VPU;
-                    # approx reciprocal + 1 Newton step (~1 ulp) costs
-                    # +1.27 (scripts/vpu_op_probe.py). The 1/0 at land
-                    # points stays inf in the discarded select branch.
+                    # approx reciprocal + 1 Newton step (near-f32-
+                    # accurate; tested to 1e-4 over 20 steps) costs
+                    # +1.27 (scripts/vpu_op_probe.py). At land points
+                    # 1/0 = inf, then the Newton step's 0*inf makes the
+                    # discarded branch NaN; jnp.where selects it away.
                     ru = pl.reciprocal(hu1, approx=True)
                     ru = ru * (2.0 - hu1 * ru)
                     rv = pl.reciprocal(hv1, approx=True)
@@ -809,7 +828,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                         aq_new2 = SP("hrludxdy", h2)
                 else:
                     ssh_new2 = jnp.where(LU(h2) > 0.5, sshn2, ssh_c2)
-                    aq_new2 = (sl(hr8, M, h2) + ssh_new2 * float(ffs)) \
+                    aq_new2 = (sl(C(hr8), M, h2) + ssh_new2 * float(ffs)) \
                         * (MT(0, h2) * MT(1, h2)) * LU(h2)
                 hun1 = interp_u(h1, aq_new2, h2)
                 hvn1 = interp_v(h1, aq_new2, roll_y1(h2, aq_new2), h2)
@@ -867,7 +886,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     # leapfrog update (tran_diff_tracer_kernel):
                     # bp = hhq_n*area/2tau with hhq_n = h_r,
                     # bp0 with hhq_p = h_r + sshp_new*ffs
-                    hr0 = sl(hr8, M, ho)
+                    hr0 = sl(C(hr8), M, ho)
                     area0 = MT(0, ho) * MT(1, ho) * inv2tau
                     bp = hr0 * area0
                     bp0 = (hr0 + sshp_new0 * float(ffs)) * area0
@@ -894,7 +913,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # array rows the out specs never write (undefined).
             sshx = ssh_new0
             if uniform:
-                sshx = sshx[M:-M, :]
+                fm = M - cur["cut"]        # frame margin this step
+                sshx = sshx[fm:-fm, :]
             elif ho:
                 sshx = sshx[ho:-ho, :]     # rows at halo ho -> center
             if guard_col:
@@ -906,23 +926,32 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         tracers = tr8
         hb = M
         mx = jnp.zeros((), jnp.float32)
+        narrow = NARROW_CHAIN and uniform and steps_per_call > 1
         for s in range(steps_per_call):
             # chained steps: step outputs at halo 4*(remaining steps)
             # stay exact (per-step reach <= 4; masked selects keep land
             # cells at exactly 0, so lane-roll wrap garbage never
             # reaches a wet cell)
             ho = 4 * (steps_per_call - 1 - s)
+            if narrow and s:
+                # crop the consumed reach: step s runs on tx+2(M-4s)
+                # rows — same per-cell arithmetic, fewer redundant rows
+                state = tuple(x[4:-4] for x in state)
+                tracers = [x[4:-4] for x in tracers]
+                cur["cut"] += 4
             state, tracers, stepmax = one_step(hb, ho, state, tracers)
             mx = jnp.maximum(mx, stepmax)
             hb = ho
 
         cc = out_col_crop        # 2D tiling: outputs are (tx, ty) lanes
         if uniform:
-            final = [x[M:-M, cc:-cc] if cc else x[M:-M, :]
+            fm = M - cur["cut"]
+            final = [x[fm:-fm, cc:-cc] if cc else x[fm:-fm, :]
                      for x in (*state, *tracers)]
         else:
             final = [x[:, cc:-cc] if cc else x
                      for x in (*state, *tracers)]
+        cur["cut"] = 0
         if stacked:
             for i, x in enumerate(final):
                 out_ref[i] = x

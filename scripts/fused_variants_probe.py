@@ -143,6 +143,10 @@ VARIANTS = {
     "azov896x128": dict(tx=128, trans=1, static_rslu=True,
                         steps_per_call=2, vmem=110 * 1024 * 1024,
                         mask="azov", ty=896),
+    # round 4: chained-step frame narrowing (step B on 72 rows) — set
+    # OCEAN_FUSED_NARROW_CHAIN=1 in the env; variant alias for logs
+    "narrow64x2": dict(tx=64, trans=1, static_rslu=True,
+                       steps_per_call=2, vmem=64 * 1024 * 1024),
 }
 
 

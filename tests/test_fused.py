@@ -14,6 +14,7 @@ from ocean_model_arch_tpu.core.masks import frame_of_land_mask
 from ocean_model_arch_tpu.model.fused import FusedSWModel, fused_available
 from ocean_model_arch_tpu.model.init import init_ocean_state
 from ocean_model_arch_tpu.model.step import make_step, run_steps
+from ocean_model_arch_tpu.ops.pallas import fused_step as fsk
 
 
 def _case(curve_grid, with_islands, nx=70, ny=52):
@@ -384,3 +385,33 @@ def test_fused_two_steps_per_call_bitexact(static_rslu, tracers):
         # XLA's FMA contraction differing between the two graph shapes
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-11)
+
+
+def test_narrow_chain_matches(monkeypatch):
+    """NARROW_CHAIN mode (chained-step frame narrowing: step B runs on
+    tx+2M-8 rows) matches the default uniform graph to XLA FMA-
+    contraction slack — same per-cell arithmetic, fewer redundant margin
+    rows for the later chained steps."""
+    nx, ny = 70, 52
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=Precision.f32())
+    mask = frame_of_land_mask(nx, ny)
+    rng = np.random.RandomState(3)
+    mask[2:-2, 2:-2] |= (rng.rand(nx - 4, ny - 4) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+
+    def run():
+        fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                          static_rslu=True, steps_per_call=2)
+        c, ok = fm.run_steps(fm.pack(state), 20)
+        assert bool(ok)
+        return [np.asarray(fsk.extract(fm.lay, x)) for x in c]
+
+    ref = run()
+    monkeypatch.setattr(fsk, "NARROW_CHAIN", True)
+    got = run()
+    for i, (x, y) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(y, x, rtol=0, atol=2e-7, err_msg=str(i))

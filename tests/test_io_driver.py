@@ -55,7 +55,9 @@ def test_grads_record_roundtrip(tmp_path):
 
 
 def _run_dir(tmp_path, mask_path, nx, ny, steps_min=1.0,
-             duration_days=0.0007, mesh=None):
+             duration_days=0.0007, mesh=None, tau=1.0,
+             mod_decomposition=0, decomposition_file="none",
+             parallel_dbg=0):
     (tmp_path / "basin.par").write_text(
         f"{nx} : nx\n{ny} : ny\n1 : nz\n0 :\n0 :\n0.05d0 :\n0.04d0 :\n"
         "27.525d0 :\n40.940d0 :\n0 :\n0 :\n1 : curve\n0.0d0 :\n0.0d0 :\n"
@@ -64,11 +66,36 @@ def _run_dir(tmp_path, mask_path, nx, ny, steps_min=1.0,
     (tmp_path / "sw.par").write_text(
         "1 :\n1 :\n1 :\n0.5d0 :\n1.0d+03 :\n1 : tracers\n1 :\nnone :\n")
     (tmp_path / "parallel.par").write_text(
-        "0 :\nnone :\n1 :\n1 :\n0 :\n0 :\nnone :\n0 :\n0 :\n")
+        f"{mod_decomposition} :\n{decomposition_file} :\n1 :\n1 :\n"
+        f"{parallel_dbg} :\n0 :\nnone :\n0 :\n0 :\n")
     (tmp_path / "ocean_run.par").write_text(
-        f"0 :\n1.0d0 : tau\n{duration_days} : days\n0 :\n2012 :\n"
+        f"0 :\n{tau}d0 : tau\n{duration_days} : days\n0 :\n2012 :\n"
         f"{steps_min} : out min\n-1.0 :\n0 :\n0 :\nnone :\n")
     return str(tmp_path)
+
+
+def test_blowup_localization(tmp_path):
+    """An unstable run (tau far beyond the gravity-wave CFL) must abort
+    naming the offending step and wet cell — parity with the reference's
+    check_ssh_err_kernel print ('ERROR!!! In the point m=, n=',
+    vel_ssh.f90:52-58); the fused paths only carry a window-level scalar,
+    so the driver replays the failed window un-fused to localize."""
+    import pytest
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    d = _run_dir(tmp_path, os.path.join(REPO, "data/BS/mask_bs4km.txt"),
+                 289, 163, steps_min=-1.0, duration_days=0.5, tau=1000.0)
+    cfg = load_config_dir(d)
+    model = OceanModel(cfg, base_dir=d)
+    with pytest.raises(FloatingPointError) as ei:
+        model.run(verbose=False)
+    msg = str(ei.value)
+    assert "in the point m=" in msg and "at step" in msg, msg
+    # the named cell must be a wet cell inside the domain
+    import re
+    m = int(re.search(r"m=(\d+)", msg).group(1))
+    n = int(re.search(r"n=(\d+)", msg).group(1))
+    assert np.asarray(model.grid.lu)[m, n] > 0.5
 
 
 def test_driver_black_sea(tmp_path):
@@ -262,3 +289,47 @@ def test_driver_reads_binary_bathymetry(tmp_path):
                                depth[2:-2, 2:-2].astype(np.float32))
     st = m.run(verbose=False)
     assert np.isfinite(np.asarray(st.ssh)).all()
+
+
+def test_decomposition_config_tail(tmp_path):
+    """parallel.par's decomposition tail: parallel_dbg >= 3 writes
+    decomposition.txt (the reference's debug ladder,
+    decomposition.f90:895-909), unknown modes abort like abort_model
+    ('Unknown decomposition mode!', :888), and mod_decomposition=2 reads
+    cut lines back from a decomposition.txt-format file."""
+    import pytest
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+    from ocean_model_arch_tpu.parallel import decomposition as dd
+
+    mask = os.path.join(REPO, "data/BS/mask_bs4km.txt")
+    d = _run_dir(tmp_path, mask, 289, 163, steps_min=-1.0,
+                 duration_days=0.00002, parallel_dbg=3)
+    cfg = load_config_dir(d)
+    assert cfg.parallel.debug_level == 3
+    model = OceanModel(cfg, base_dir=d)
+    model.run(verbose=False)
+    p = os.path.join(d, "RESULTS", "decomposition.txt")
+    assert os.path.exists(p)
+    back = dd.read_decomposition(p)
+    assert (back.bnx, back.bny) == (1, 1)
+    assert int(back.weights.sum()) == int(
+        (np.asarray(model.grid.lu) > 0.5).sum())
+
+    # unknown decomposition mode aborts at startup
+    (tmp_path / "bad").mkdir()
+    d2 = _run_dir(tmp_path / "bad", mask, 289, 163, mod_decomposition=7)
+    with pytest.raises(ValueError, match="Unknown decomposition mode"):
+        OceanModel(load_config_dir(d2), base_dir=d2)
+
+    # mod_decomposition=2: cuts read back from a decomposition file
+    # (block grid 2x2 uniformly owned by the run's 1x1 device mesh)
+    intm = (np.asarray(model.grid.lu) < 0.5).astype(np.int32)
+    dec = dd.assign_uniform(dd.block_weights(intm, 2, 2), 1, 1)
+    dd.dump_decomposition(dec, str(tmp_path / "cuts.txt"))
+    (tmp_path / "m2").mkdir()
+    d3 = _run_dir(tmp_path / "m2", mask, 289, 163, mod_decomposition=2,
+                  decomposition_file=str(tmp_path / "cuts.txt"))
+    m3 = OceanModel(load_config_dir(d3), base_dir=d3)
+    xe, ye = m3._file_cuts
+    assert xe[0] == 0 and xe[-1] == 289 and len(xe) == 2  # mesh 1x1: px=1
+    assert ye[0] == 0 and ye[-1] == 163
