@@ -43,3 +43,49 @@ class PhaseTimers:
             lines.append(f"{k:<24} {v}")
         lines.append("========================================================")
         return "\n".join(lines)
+
+    def gather(self) -> list[dict]:
+        """Allgather every process's timer state (multi-process runs);
+        returns [{"acc": ..., "count": ...}, ...] indexed by process.
+        Single-process: a one-element list, no collectives."""
+        import jax
+        if jax.process_count() == 1:
+            return [{"acc": dict(self.acc), "count": dict(self.count)}]
+        import json
+
+        import numpy as np
+        from jax.experimental import multihost_utils
+        payload = json.dumps({"acc": self.acc,
+                              "count": self.count}).encode()
+        cap = 1 << 14
+        assert len(payload) < cap, "timer table too large to gather"
+        buf = np.zeros(cap, np.uint8)
+        buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+        allb = np.asarray(multihost_utils.process_allgather(buf))
+        out = []
+        for row in allb.reshape(jax.process_count(), cap):
+            s = bytes(row.tobytes()).rstrip(b"\x00").decode()
+            out.append(json.loads(s) if s else {"acc": {}, "count": {}})
+        return out
+
+    def reduced_report(self, extra: dict | None = None) -> str:
+        """One table with max/min totals over all processes — the analog
+        of mpp_finalize's reduced profile (shared/mpp/mpp.f90:272-341:
+        mpi_allreduce MPI_MAX/MPI_MIN of every phase timer, master-rank
+        print). Single-process runs fall back to the plain report."""
+        tables = self.gather()
+        if len(tables) == 1:
+            return self.report(extra)
+        names = sorted({n for t in tables for n in t["acc"]})
+        lines = [f"============ TIMER REPORT ({len(tables)} processes, "
+                 "max/min over ranks) ============",
+                 f"{'phase':<24} {'max s':>12} {'min s':>12} {'calls':>8}"]
+        for n in names:
+            vals = [t["acc"].get(n, 0.0) for t in tables]
+            calls = max(t["count"].get(n, 0) for t in tables)
+            lines.append(f"{n:<24} {max(vals):>12.4f} {min(vals):>12.4f} "
+                         f"{calls:>8d}")
+        for k, v in (extra or {}).items():
+            lines.append(f"{k:<24} {v}")
+        lines.append("=" * 68)
+        return "\n".join(lines)

@@ -9,12 +9,21 @@ unchanged across processes — shard_map ppermutes become cross-process
 Gloo transfers.
 
 Usage (spawned by tests/test_multiprocess.py or scripts by hand):
-  python scripts/multiprocess_worker.py <proc_id> <nproc> <port> <outdir>
+  python scripts/multiprocess_worker.py <proc_id> <nproc> <port> <outdir> \
+      [jnp|fused2d]
 
-Each process: runs N steps of the jnp-sharded model over a (nproc, 1)
-mesh, writes the gathered trajectory (proc 0), saves an orbax sharded
-checkpoint from ALL processes, restores it with the target shardings in
-place, runs M more steps, and writes the continued trajectory.
+jnp mode (default): runs N steps of the jnp-sharded model over a
+(nproc, 1) mesh, writes the gathered trajectory (proc 0), saves an orbax
+sharded checkpoint from ALL processes, restores it with the target
+shardings in place, runs M more steps, and writes the continued
+trajectory.
+
+fused2d mode (nproc=4): the PRODUCTION path — FusedSharded2DModel
+(interpret-mode Pallas) over a 2x2 mesh whose BOTH axes cross process
+boundaries, so the margin-strip ppermutes (including the corner
+composition) ride Gloo inter-process transport — the analog of the
+reference's inter-rank sends incl. corner directions
+(syncborder_block2D_gen_all.fi:100-129).
 """
 
 import os
@@ -41,6 +50,40 @@ def build_workload(nproc: int):
     grid = build_grid(basin, frame_of_land_mask(nx, ny),
                       precision=cfg.precision)
     return grid, cfg, init_ocean_state(grid, cfg)
+
+
+def main_fused2d(proc_id: int, nproc: int, port: int, outdir: str) -> None:
+    """FusedSharded2DModel across 4 processes on a 2x2 mesh."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
+    jax.distributed.initialize(f"127.0.0.1:{port}", nproc, proc_id)
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from ocean_model_arch_tpu.model.fused_sharded2d import \
+        FusedSharded2DModel
+
+    assert nproc == 4 and len(jax.devices()) == 4
+    grid, cfg, state = build_workload(nproc)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             devices=jax.devices())
+    c, ok = fm.make_runner(N1)(fm.pack(state))
+    assert bool(ok), "stability guard tripped across processes (fused2d)"
+    c, ok = fm.make_runner(N2)(c)
+    assert bool(ok)
+    fields = fm.extract(c)
+    host = [np.asarray(multihost_utils.process_allgather(f, tiled=True))
+            for f in fields]
+    if proc_id == 0:
+        np.savez(os.path.join(outdir, "fused2d.npz"), ssh=host[0],
+                 u=host[2], v=host[4], tr=host[6])
+        with open(os.path.join(outdir, "ok"), "w") as f:
+            f.write("ok")
+    jax.distributed.shutdown()
 
 
 def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
@@ -108,6 +151,18 @@ def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
     step2 = make_sharded_step(gs, cfg, mesh, n_inner=n2)
     end, ok2 = step2(restored, np.float32(1.0))
     assert bool(ok2)
+
+    # ---- cross-process timer reduction (mpp_finalize analog) ---------
+    # distinct per-rank totals + a rank-private phase name prove the
+    # reduction really crossed the process boundary
+    from ocean_model_arch_tpu.utils.timers import PhaseTimers
+    tm = PhaseTimers()
+    tm.add("model_step", 1.0 + proc_id)
+    tm.add(f"only_rank{proc_id}", 0.5)
+    rep = tm.reduced_report()
+    if proc_id == 0:
+        with open(os.path.join(outdir, "timers.txt"), "w") as f:
+            f.write(rep)
     if proc_id == 0:
         g = gather(end)
         np.savez(os.path.join(outdir, "end.npz"), ssh=g.ssh, u=g.ubrtr,
@@ -120,5 +175,7 @@ def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-         sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "jnp"
+    entry = {"jnp": main, "fused2d": main_fused2d}[mode]
+    entry(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+          sys.argv[4])

@@ -37,6 +37,17 @@ def test_multiprocess_matches_single_process(nproc, tmp_path):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
     assert (tmp_path / "ok").exists()
 
+    # ONE reduced timer table over ranks (mpp_finalize, mpp.f90:272-341):
+    # rank-private phases appear merged; distinct per-rank totals reduce
+    # to max/min
+    timers = (tmp_path / "timers.txt").read_text()
+    assert f"{nproc} processes" in timers and "max/min" in timers
+    assert "only_rank0" in timers and f"only_rank{nproc - 1}" in timers
+    step_line = [ln for ln in timers.splitlines()
+                 if ln.startswith("model_step")][0]
+    cols = step_line.split()
+    assert float(cols[1]) == 1.0 + (nproc - 1) and float(cols[2]) == 1.0
+
     # reference 1: the SAME sharded program on a single-process virtual
     # 2-device mesh — the cross-process run must match it BITWISE (same
     # XLA program, only the collective transport differs: Gloo vs local)
@@ -83,3 +94,47 @@ def test_multiprocess_matches_single_process(nproc, tmp_path):
                                rtol=2e-6, atol=1e-9)
     np.testing.assert_allclose(end["u"], np.asarray(ref_end.ubrtr),
                                rtol=2e-6, atol=1e-9)
+
+
+def test_multiprocess_fused2d_2x2(tmp_path):
+    """The PRODUCTION (fused-sharded) path across real process
+    boundaries: 4 OS processes on a 2x2 mesh, so margin-strip ppermutes
+    cross processes in BOTH axes (corners ride the diagonal) — VERDICT
+    r3 weak-5. Must match the same program on a single-process virtual
+    4-device mesh bitwise."""
+    nproc = 4
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(nproc), "12491",
+         str(tmp_path), "fused2d"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for i in range(nproc)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
+    assert (tmp_path / "ok").exists()
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import multiprocess_worker as mw
+    import jax
+    from ocean_model_arch_tpu.model.fused_sharded2d import \
+        FusedSharded2DModel
+
+    grid, cfg, state = mw.build_workload(nproc)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             devices=jax.devices()[:4])
+    c, ok = fm.make_runner(mw.N1)(fm.pack(state))
+    assert bool(ok)
+    c, ok = fm.make_runner(mw.N2)(c)
+    assert bool(ok)
+    fields = fm.extract(c)
+    got = np.load(tmp_path / "fused2d.npz")
+    for name, a, b in (("ssh", got["ssh"], fields[0]),
+                       ("u", got["u"], fields[2]),
+                       ("v", got["v"], fields[4]),
+                       ("tracer", got["tr"], fields[6])):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{name}: fused-sharded cross-process trajectory "
+                    "diverged from the single-process virtual-mesh run")
