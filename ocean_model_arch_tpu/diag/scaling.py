@@ -61,9 +61,9 @@ def halo_bytes_per_step(fs, verify_expected: bool = True) -> int:
     spc = fs.steps_per_call
     runner = fs.make_runner(spc)          # one scan trip
     lowered = runner.lower(
-        tuple(jax.ShapeDtypeStruct((fs.px * fs.Xpad, fs.py * fs.Ymax),
-                                   np.float32)
-              for _ in range(6 + 2 * fs.n_tracers)))
+        tuple(jax.ShapeDtypeStruct(
+            (fs.px * (fs.Xpad + 2 * fs.M), fs.py * fs.Ysp), np.float32)
+            for _ in range(6 + 2 * fs.n_tracers)))
     per_call = collective_bytes(lowered.as_text())
     if verify_expected and per_call == 0 and (fs.px > 1 or fs.py > 1):
         raise RuntimeError("no collective_permute found in lowered HLO")
@@ -72,14 +72,14 @@ def halo_bytes_per_step(fs, verify_expected: bool = True) -> int:
 
 def expected_halo_bytes_per_step(fs) -> int:
     """Analytic cross-check of :func:`halo_bytes_per_step`: per exchange,
-    each of the 6+2T prognostic fields sends M rows to each x neighbour
-    (M x Ys_x lanes... the x pass runs pre-margin: M x Ymax) and M lanes
-    of the x-margined array to each y neighbour (Xpad+2M rows x M)."""
+    each of the 6+2T prognostic fields sends an (M, Ysp) row strip to
+    each x neighbour and an (Xpad+2M, M) lane strip of the (post-x-pass)
+    margined carry to each y neighbour."""
     M = fs.M
     nf = 6 + 2 * fs.n_tracers
     # HLO shapes are PER-DEVICE (shard_map manual mode): each device's
     # program moves 2 strips per sharded axis per field per exchange
-    bx = 2 * int(fs.px > 1) * M * fs.Ymax * 4 * nf
+    bx = 2 * int(fs.px > 1) * M * fs.Ysp * 4 * nf
     by = 2 * int(fs.py > 1) * (fs.Xpad + 2 * M) * M * 4 * nf
     return (bx + by) // fs.steps_per_call
 

@@ -65,11 +65,16 @@ class FusedSharded2DModel:
                  interpret: bool = False, mu_const: float = 0.0,
                  static_rslu: bool = True, steps_per_call: int = 1,
                  weighted: bool = False, tile_guard: bool = True,
-                 compute_powers_x=None):
+                 compute_powers_x=None, x_edges=None, y_edges=None):
         """``compute_powers_x``: per-x-band relative throughput targets
         for the weighted cuts (the DLB loop's measured compute_power,
         control/preprocess.f90:71-72) — band k receives a wet share
-        proportional to powers[k] instead of 1/px."""
+        proportional to powers[k] instead of 1/px.
+
+        ``x_edges``/``y_edges``: explicit cut lines (len px+1 / py+1,
+        spanning [0, nx] / [0, ny]) — parallel.par mod_decomposition=2,
+        cuts read back from a decomposition.txt file
+        (parallel/decomposition.py::read_decomposition)."""
         self.grid = grid
         self.cfg = cfg
         self.px, self.py = px, py
@@ -83,11 +88,12 @@ class FusedSharded2DModel:
         # chained step (8-aligned), so deeper chaining widens the
         # exchanged strips instead of adding exchanges
         M = self.M = fsk.margin_for(steps_per_call)
-        self.weighted_x = bool(weighted) and px > 1
-        self.weighted_y = bool(weighted) and py > 1
         int_mask = (np.asarray(grid.lu) < 0.5).astype(np.int32)
         # ---- x cut lines ------------------------------------------------
-        if self.weighted_x:
+        if x_edges is not None:
+            edges = np.asarray(x_edges, np.int64)
+            assert len(edges) == px + 1, (len(edges), px)
+        elif weighted and px > 1:
             # equal-wet x cut lines; local pad (not global) absorbs the
             # unequal band widths
             edges = weighted_x_edges(int_mask, px, min_width=M,
@@ -99,7 +105,10 @@ class FusedSharded2DModel:
         lx = np.diff(edges).astype(np.int64)          # valid rows/shard
         Xpad = int(-(-lx.max() // tx) * tx)           # common local extent
         # ---- y cut lines ------------------------------------------------
-        if self.weighted_y:
+        if y_edges is not None:
+            y_edges = np.asarray(y_edges, np.int64)
+            assert len(y_edges) == py + 1, (len(y_edges), py)
+        elif weighted and py > 1:
             y_edges = weighted_y_edges(int_mask, py, min_width=M)
         else:
             yl_u = -(-grid.ny // py)
@@ -107,7 +116,11 @@ class FusedSharded2DModel:
         self.y_edges = y_edges
         ly = np.diff(y_edges).astype(np.int64)        # valid lanes/shard
         Ymax = int(ly.max())                          # common local extent
-        if Xpad < M or Ymax < M or int(ly.min()) < M:
+        # shards need dynamic-offset margin handling whenever any valid
+        # extent differs from the padded one (weighted or file cuts)
+        self.weighted_x = px > 1 and bool((lx != Xpad).any())
+        self.weighted_y = py > 1 and bool((ly != Ymax).any())
+        if int(lx.min()) < M or int(ly.min()) < M:
             raise ValueError(
                 f"shards must be at least {M} cells wide for the margin "
                 f"exchange (got {lx.min()}x{ly.min()}); use a smaller mesh")
@@ -155,11 +168,19 @@ class FusedSharded2DModel:
             return np.pad(g, ((0, 0), (M, M)),
                           mode="wrap" if self.periodic_y else "constant")
 
-        def shard4(gp, lead=0):
+        def shard4(gp, lead=0, box=False):
             """Margined global (..., Exg+2M, Eyg+2M) -> per-shard
             blocks (px, py, ..., Xpad+2M, Ysp): every shard slices its
             FULL window (valid + margins + pad, land-consistent), plus
-            land zeros in the lane-alignment pad beyond Ymax+2M."""
+            land zeros in the lane-alignment pad beyond Ymax+2M.
+
+            ``box=True`` (mask-like fields): force LAND beyond each
+            shard's (valid + 2M-margin) box. The persistent margined
+            carry (make_runner) refreshes only 2M strips per exchange;
+            cells beyond the box then carry stale values — land-boxed
+            masks make the kernel's output selects copy those cells
+            through unchanged (exact zeros from pack time), so they can
+            never evolve, blow up, or reach the stability guard."""
             out = np.zeros((px, py) + gp.shape[:lead]
                            + (Xpad + 2 * M, Ysp), np.float32)
             h = Ymax + 2 * M
@@ -168,6 +189,9 @@ class FusedSharded2DModel:
                     out[i, j, ..., :, :h] = \
                         gp[..., edges[i]: edges[i] + Xpad + 2 * M,
                            y_edges[j]: y_edges[j] + h]
+                    if box:
+                        out[i, j, ..., int(lx[i]) + 2 * M:, :] = 0.0
+                        out[i, j, ..., :, int(ly[j]) + 2 * M:] = 0.0
             return out
 
         def glob(field2d):
@@ -177,8 +201,10 @@ class FusedSharded2DModel:
 
         lu_gp = pad2(glob(grid.lu))
         hr_gp = pad2(glob(grid.hhq_rest))
-        self.lu_shards = jnp.asarray(shard4(lu_gp))
-        self.hr_shards = jnp.asarray(shard4(hr_gp))
+        lu_sh = shard4(lu_gp, box=True)
+        hr_sh = shard4(hr_gp, box=True)
+        self.lu_shards = jnp.asarray(lu_sh)
+        self.hr_shards = jnp.asarray(hr_sh)
 
         # per-shard valid extents + per-tile wet flags (the tile guard
         # skips pad and all-land tiles; see module docstring)
@@ -205,9 +231,11 @@ class FusedSharded2DModel:
             self.metrics_2d = False
         except ValueError:
             self.metrics_2d = True
+        met_sh = prof_sh = None
         if self.metrics_2d:
             met_g = self._global_planes(grid)         # (16, Eg+2M, Yg+2M)
-            self.met_shards = jnp.asarray(shard4(met_g, lead=1))
+            met_sh = shard4(met_g, lead=1)
+            self.met_shards = jnp.asarray(met_sh)
             met_spec = P("x", "y", None, None, None)
             prof_padded = None
         else:
@@ -243,16 +271,27 @@ class FusedSharded2DModel:
                 self.metrics_2d,
                 hr_const=(self.hr_const if not self.metrics_2d
                           else None))
-            if self.metrics_2d:
-                dxdy = met_g[0] * met_g[1]
-                recips = None
-            else:
-                dxdy = (prof_padded[0] * prof_padded[1])[None, :]
-                recips = (prof_padded[10:11], prof_padded[11:12],
-                          (prof_padded[14] * prof_padded[15])[None, :])
-            planes_g = fsk.static_planes(lu_gp, hr_gp, dxdy, names,
-                                         interp_recips=recips)
-            self.plane_shards = jnp.asarray(shard4(planes_g, lead=1))
+            # planes are built PER SHARD from the land-boxed lu/hr
+            # slices (see shard4): beyond each shard's valid+margin box
+            # the rslu/ludxdy planes then take their LAND values, so the
+            # kernel's encoded-mask compares read land there and the
+            # persistent carry's stale cells are copy-through no-ops
+            planes = np.zeros((px, py, len(names), Xpad + 2 * M, Ysp),
+                              np.float32)
+            for i in range(px):
+                for j in range(py):
+                    if self.metrics_2d:
+                        dxdy = met_sh[i, j, 0] * met_sh[i, j, 1]
+                        recips = None
+                    else:
+                        dxdy = (prof_sh[j, 0] * prof_sh[j, 1])[None, :]
+                        recips = (prof_sh[j, 10:11], prof_sh[j, 11:12],
+                                  (prof_sh[j, 14]
+                                   * prof_sh[j, 15])[None, :])
+                    planes[i, j] = fsk.static_planes(
+                        lu_sh[i, j], hr_sh[i, j], dxdy, names,
+                        interp_recips=recips)
+            self.plane_shards = jnp.asarray(planes)
         else:
             self.plane_shards = None
 
@@ -305,22 +344,26 @@ class FusedSharded2DModel:
     # ------------------------------------------------------------------
     def _pack_maps(self):
         """Precomputed (numpy, cached) gather maps between the physical
-        (nx, ny) layout and the band-major (px*Xpad, py*Ymax) carry
-        layout — pack/extract then cost ONE fancy-index op per field
-        instead of a px*py loop of dispatches."""
+        (nx, ny) layout and the MARGINED band-major (px*Xs, py*Ysp)
+        carry layout (Xs = Xpad+2M; each shard's valid data sits at
+        local offset (M, M), its margins/pads at exact zeros) —
+        pack/extract then cost ONE fancy-index op per field instead of
+        a px*py loop of dispatches."""
         if getattr(self, "_pk", None) is not None:
             return self._pk
         nx, ny = self.grid.nx, self.grid.ny
+        M = self.M
+        Xs, Ys = self.Xpad + 2 * M, self.Ysp
         # band-major index -> (band, local offset)
-        gr = np.arange(self.px * self.Xpad)
-        gi, gl = gr // self.Xpad, gr % self.Xpad
-        src_r = self.x_edges[gi] + gl                 # physical row
-        vr = gl < np.diff(self.x_edges)[gi]
+        gr = np.arange(self.px * Xs)
+        gi, gl = gr // Xs, gr % Xs - M               # local valid offset
+        src_r = self.x_edges[gi] + gl                # physical row
+        vr = (gl >= 0) & (gl < np.diff(self.x_edges)[gi])
         vr &= src_r < nx
-        gc = np.arange(self.py * self.Ymax)
-        gj, gm = gc // self.Ymax, gc % self.Ymax
+        gc = np.arange(self.py * Ys)
+        gj, gm = gc // Ys, gc % Ys - M
         src_c = self.y_edges[gj] + gm
-        vc = gm < np.diff(self.y_edges)[gj]
+        vc = (gm >= 0) & (gm < np.diff(self.y_edges)[gj])
         vc &= src_c < ny
         valid = vr[:, None] & vc[None, :]
         src_r = np.where(vr, src_r, 0)
@@ -329,21 +372,22 @@ class FusedSharded2DModel:
         pr = np.arange(nx)
         bi = np.searchsorted(self.x_edges, pr, side="right") - 1
         bi = np.clip(bi, 0, self.px - 1)
-        dst_r = bi * self.Xpad + (pr - self.x_edges[bi])
+        dst_r = bi * Xs + M + (pr - self.x_edges[bi])
         pc = np.arange(ny)
         bj = np.searchsorted(self.y_edges, pc, side="right") - 1
         bj = np.clip(bj, 0, self.py - 1)
-        dst_c = bj * self.Ymax + (pc - self.y_edges[bj])
+        dst_c = bj * Ys + M + (pc - self.y_edges[bj])
         self._pk = (jnp.asarray(src_r), jnp.asarray(src_c),
                     jnp.asarray(valid),
                     jnp.asarray(dst_r), jnp.asarray(dst_c))
         return self._pk
 
     def pack(self, state: SWState):
-        """State fields -> band-major global arrays (px*Xpad, py*Ymax),
+        """State fields -> margined band-major arrays (px*Xs, py*Ysp),
         sharded P("x","y"): shard (i,j) holds band rows
         [x_edges[i], x_edges[i+1]) x lanes [y_edges[j], y_edges[j+1])
-        at local offset (0, 0)."""
+        at local offset (M, M); margins/pads start as exact zeros (the
+        first exchange fills the margins)."""
         src_r, src_c, valid, _, _ = self._pack_maps()
 
         def embed(a):
@@ -358,7 +402,7 @@ class FusedSharded2DModel:
         return tuple(embed(a) for a in fields)
 
     def extract(self, carry):
-        """Band-major carry arrays -> (nx, ny) global views."""
+        """Margined band-major carry arrays -> (nx, ny) global views."""
         _, _, _, dst_r, dst_c = self._pack_maps()
         return tuple(a[dst_r[:, None], dst_c[None, :]] for a in carry)
 
@@ -381,59 +425,66 @@ class FusedSharded2DModel:
             fwd_y.append((py - 1, 0))
             bwd_y.append((0, py - 1))
         weighted_x, weighted_y = self.weighted_x, self.weighted_y
+        Xs, Ys = self.Xpad + 2 * M, self.Ysp
+        dus = lax.dynamic_update_slice_in_dim
+        dsl = lax.dynamic_slice_in_dim
 
         def exchange(f, lxl, lyl):
-            """(Xpad, Ymax) -> (Xpad+2M, Ysp); the y-pass on the
-            x-margined array carries the corners. ``lxl``/``lyl``: this
-            shard's valid extents (weighted cuts slice the edge strips
-            at dynamic offsets; uniform cuts use static strips)."""
+            """Strip-wise margin refresh of a persistent margined
+            (Xs, Ys) carry: the kernel's out windows write only the
+            interior rows [M, M+Xpad), so each exchange ppermutes the
+            four 2M-wide edge strips and dynamic-update-slices them in
+            place — never a full pad/concat rebuild (VERDICT r4 item 2;
+            the reference likewise packs/unpacks only strips,
+            syncborder_block2D_gen_all.fi:41-82). Valid rows are
+            [M, M+lxl); the y-pass slices AFTER the x strips landed, so
+            corner cells ride through the orthogonal neighbour exactly
+            as in parallel/halo.py. ``lxl``/``lyl``: this shard's valid
+            extents (weighted/file cuts make them dynamic)."""
+            if weighted_x:
+                # rows beyond the received strip up to Xs are neither
+                # kernel-written nor exchanged when lxl < Xpad — ground
+                # them BEFORE the strip writes (the update-slice clamp
+                # makes the strips rewrite any overlap)
+                f = dus(f, jnp.zeros((M, f.shape[1]), f.dtype),
+                        M + lxl + M, 0)
             if px == 1:
                 if self.periodic_x:
-                    fx = jnp.concatenate([f[-M:], f, f[:M]], axis=0)
+                    low = dsl(f, lxl, M, 0)
+                    high = f[M:2 * M]
                 else:
-                    fx = jnp.pad(f, ((M, M), (0, 0)))
-            elif weighted_x:
-                last = lax.dynamic_slice_in_dim(f, lxl - M, M, 0)
-                low = lax.ppermute(last, "x", fwd_x)
-                high = lax.ppermute(f[:M], "x", bwd_x)
-                fx = jnp.zeros((self.Xpad + 2 * M, f.shape[1]), f.dtype)
-                fx = lax.dynamic_update_slice_in_dim(fx, f, M, 0)
-                fx = lax.dynamic_update_slice_in_dim(fx, low, 0, 0)
-                fx = lax.dynamic_update_slice_in_dim(fx, high, M + lxl, 0)
+                    low = high = jnp.zeros((M, f.shape[1]), f.dtype)
             else:
-                low = lax.ppermute(f[-M:], "x", fwd_x)
-                high = lax.ppermute(f[:M], "x", bwd_x)
-                fx = jnp.concatenate([low, f, high], axis=0)
-            ypad = self.Ysp - (self.Ymax + 2 * M)  # lane-alignment pad
+                # send: last M valid rows fwd, first M valid rows bwd;
+                # edge shards receive ppermute's zero fill = land
+                low = lax.ppermute(dsl(f, lxl, M, 0), "x", fwd_x)
+                high = lax.ppermute(f[M:2 * M], "x", bwd_x)
+            f = dus(f, low, 0, 0)
+            f = dus(f, high, M + lxl, 0) if weighted_x \
+                else dus(f, high, M + self.Xpad, 0)
+            # y strips span ALL rows (including the fresh x strips ->
+            # corners arrive from the diagonal neighbour)
             if py == 1:
                 if self.periodic_y:
-                    fy = jnp.concatenate([fx[:, -M:], fx, fx[:, :M]],
-                                         axis=1)
+                    lo = dsl(f, lyl, M, 1)
+                    hi = f[:, M:2 * M]
                 else:
-                    fy = jnp.pad(fx, ((0, 0), (M, M)))
-                return jnp.pad(fy, ((0, 0), (0, ypad)))
-            if weighted_y:
-                last = lax.dynamic_slice_in_dim(fx, lyl - M, M, 1)
-                low = lax.ppermute(last, "y", fwd_y)
-                high = lax.ppermute(fx[:, :M], "y", bwd_y)
-                fy = jnp.zeros((fx.shape[0], self.Ysp), f.dtype)
-                fy = lax.dynamic_update_slice_in_dim(fy, fx, M, 1)
-                fy = lax.dynamic_update_slice_in_dim(fy, low, 0, 1)
-                fy = lax.dynamic_update_slice_in_dim(fy, high,
-                                                     M + lyl, 1)
-                return fy
-            low = lax.ppermute(fx[:, -M:], "y", fwd_y)
-            high = lax.ppermute(fx[:, :M], "y", bwd_y)
-            return jnp.pad(jnp.concatenate([low, fx, high], axis=1),
-                           ((0, 0), (0, ypad)))
+                    lo = hi = jnp.zeros((f.shape[0], M), f.dtype)
+            else:
+                lo = lax.ppermute(dsl(f, lyl, M, 1), "y", fwd_y)
+                hi = lax.ppermute(f[:, M:2 * M], "y", bwd_y)
+            f = dus(f, lo, 0, 1)
+            f = dus(f, hi, M + lyl, 1) if weighted_y \
+                else dus(f, hi, M + self.Ymax, 1)
+            return f
 
         def local_fn(lu_b, hr_b, met_b, plane_b, lx_b, ly_b, tw_b,
                      carry):
             lu_l = lu_b[0, 0]
             hr_l = hr_b[0, 0]
             met_l = met_b[0, 0] if self.metrics_2d else met_b[0]
-            lxl = lx_b[0]
-            lyl = ly_b[0]
+            lxl = lx_b[0] if weighted_x else self.Xpad
+            lyl = ly_b[0] if weighted_y else self.Ymax
             extra = ()
             if self.static_rslu:
                 extra = (plane_b[0, 0],)
@@ -441,28 +492,17 @@ class FusedSharded2DModel:
             if self.tile_guard:
                 kw["tile_wet"] = tw_b[0, 0]
 
-            ymax = self.Ymax
-
-            # pad-region mask: rows/lanes beyond this shard's valid
-            # extent are re-grounded to exact zeros every call. The
-            # zero-filled static planes make the kernel's encoded
-            # wet-mask compares read "wet" there (0 < threshold), so
-            # its pad outputs are 0-division garbage; with weighted
-            # cuts the crop boundary passes through ocean, and that
-            # garbage would otherwise meet wet margin cells and leak
-            # NaN into the stability guard.
-            valid = ((lax.broadcasted_iota(jnp.int32, (self.Xpad, ymax),
-                                           0) < lxl)
-                     & (lax.broadcasted_iota(jnp.int32, (self.Xpad,
-                                                         ymax), 1) < lyl))
-
+            # No per-step pad re-grounding: the land-boxed static
+            # planes (shard4 box=True) make every cell beyond the
+            # valid+margin box a copy-through no-op, so pack-time zeros
+            # persist there for the whole scan and the carry stays in
+            # the margined layout end to end.
             def one(c, _):
                 fields, mx = c
-                margined = tuple(exchange(f, lxl, lyl) for f in fields)
+                fields = tuple(exchange(f, lxl, lyl) for f in fields)
                 outs, tmax = self.step_raw(lu_l, hr_l, met_l, *extra,
-                                           *margined, **kw)
-                return (tuple(jnp.where(valid, o[M:-M, M:M + ymax], 0.0)
-                              for o in outs),
+                                           *fields, **kw)
+                return (tuple(outs),
                         jnp.maximum(mx, jnp.max(tmax))), None
 
             (carry, mx), _ = lax.scan(

@@ -222,3 +222,27 @@ def test_fused_2d_mesh_viscosity(case):
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
         assert rel < 2e-5, (name, rel)
+
+
+def test_fused_2d_mesh_file_cuts(case):
+    """Explicit cut lines (parallel.par mod_decomposition=2: cuts read
+    back from a decomposition.txt dump) reproduce the reference
+    trajectory — including unequal band widths, which exercise the
+    dynamic-offset margin strips."""
+    grid, cfg, state, ref = case
+    xe = np.array([0, 24, 40, 70], np.int64)       # unequal on purpose
+    ye = np.array([0, 30, 52], np.int64)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 3, 2, tx=8, interpret=True,
+                             x_edges=xe, y_edges=ye)
+    assert fm.weighted_x and fm.weighted_y         # dynamic margins
+    np.testing.assert_array_equal(np.asarray(fm.x_edges), xe)
+    np.testing.assert_array_equal(np.asarray(fm.y_edges), ye)
+    c, ok = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("ff", fields[6], ref.ff[0])]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 1e-5, (name, rel)
