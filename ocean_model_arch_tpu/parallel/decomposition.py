@@ -330,3 +330,50 @@ def dump_decomposition(dec: BlockDecomposition, path: str) -> None:
                 f.write(f"{i} {j} {dec.x_edges[i]} {dec.x_edges[i + 1]} "
                         f"{dec.y_edges[j]} {dec.y_edges[j + 1]} "
                         f"{dec.weights[i, j]} {dec.owner[i, j]}\n")
+
+
+def read_decomposition(path: str) -> BlockDecomposition:
+    """Read a decomposition.txt dump back (the inverse of
+    :func:`dump_decomposition`; the reference only ever WRITES this
+    format, decomposition.f90:895-909 — reading it back is what makes
+    parallel.par's mod_decomposition=2 / file_decomposition line real)."""
+    with open(path) as f:
+        bnx, bny = map(int, f.readline().split()[:2])
+        xe = np.zeros(bnx + 1, np.int64)
+        ye = np.zeros(bny + 1, np.int64)
+        w = np.zeros((bnx, bny), np.int64)
+        owner = -np.ones((bnx, bny), np.int64)
+        for line in f:
+            parts = line.split()
+            if len(parts) < 8:
+                continue
+            i, j, x0, x1, y0, y1 = map(int, parts[:6])
+            xe[i], xe[i + 1] = x0, x1
+            ye[j], ye[j + 1] = y0, y1
+            w[i, j] = int(float(parts[6]))
+            owner[i, j] = int(parts[7])
+    return BlockDecomposition(bnx, bny, w, owner, xe, ye)
+
+
+def cuts_from_decomposition(dec: BlockDecomposition, px: int, py: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Shard cut lines (x_edges, y_edges) from a block decomposition,
+    when its owner grid is a regular px x py rectangle tiling (each
+    device owns a contiguous block sub-grid — the only layout an SPMD
+    mesh of rectangular shards can realize). Raises ValueError for
+    irregular (e.g. Hilbert-packed) assignments."""
+    if dec.bnx % px or dec.bny % py:
+        raise ValueError(
+            f"decomposition block grid {dec.bnx}x{dec.bny} not divisible "
+            f"by the device mesh {px}x{py}")
+    fx, fy = dec.bnx // px, dec.bny // py
+    expect = (np.arange(dec.bnx)[:, None] // fx) * py \
+        + (np.arange(dec.bny)[None, :] // fy)
+    mism = (dec.owner >= 0) & (dec.owner != expect)
+    if mism.any():
+        raise ValueError(
+            "decomposition file does not describe a regular grid split "
+            f"({int(mism.sum())} blocks owned off-grid); TPU SPMD shards "
+            "are contiguous rectangles — re-dump with a uniform "
+            "assignment or use mod_decomposition=0/1")
+    return dec.x_edges[::fx].copy(), dec.y_edges[::fy].copy()

@@ -125,3 +125,34 @@ def test_choose_mesh_dims():
     edges = dd.weighted_x_edges(mask, px)
     assert dd.x_band_balance(mask, edges, py) <= dd.x_band_balance(
         mask, np.linspace(0, 289, 9).astype(np.int64), 1) + 1e-9
+
+
+def test_decomposition_file_roundtrip(tmp_path):
+    """decomposition.txt dump -> read_decomposition -> identical blocks,
+    and cuts_from_decomposition recovers shard cut lines from a regular
+    grid assignment (parallel.par mod_decomposition=2; the reference
+    only WRITES this format, decomposition.f90:895-909)."""
+    mask = load_mask("data/BS/mask_bs4km.txt", 289, 163, REPO)
+    dec = dd.block_weights(mask, 8, 4)
+    dec = dd.assign_uniform(dec, 4, 2)
+    p = str(tmp_path / "decomposition.txt")
+    dd.dump_decomposition(dec, p)
+    back = dd.read_decomposition(p)
+    assert (back.bnx, back.bny) == (dec.bnx, dec.bny)
+    np.testing.assert_array_equal(back.weights, dec.weights)
+    np.testing.assert_array_equal(back.owner, dec.owner)
+    np.testing.assert_array_equal(back.x_edges, dec.x_edges)
+    np.testing.assert_array_equal(back.y_edges, dec.y_edges)
+
+    xe, ye = dd.cuts_from_decomposition(back, 4, 2)
+    np.testing.assert_array_equal(xe, dec.x_edges[::2])
+    np.testing.assert_array_equal(ye, dec.y_edges[::2])
+
+    # irregular (Hilbert) assignments cannot map to SPMD rectangles
+    dec16 = dd.block_weights(mask, 16, 16)
+    hil = dd.assign_hilbert(dec16, 8)
+    p2 = str(tmp_path / "hilbert.txt")
+    dd.dump_decomposition(hil, p2)
+    import pytest
+    with pytest.raises(ValueError, match="regular grid"):
+        dd.cuts_from_decomposition(dd.read_decomposition(p2), 4, 2)
