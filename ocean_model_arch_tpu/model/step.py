@@ -46,6 +46,10 @@ class GlobalHalo:
     def ex(self, f):
         return pad(f, self.periodic_x, self.periodic_y)
 
+    def ex_batch(self, fields) -> None:
+        """No-op: the global pad is communication-free (ShardHalo's
+        batched sync-list form is where this pays)."""
+
     def zp(self, f):
         return pad(f)
 
@@ -68,6 +72,14 @@ def sw_step(state: SWState, grid: Grid, cfg: ModelConfig, tau, hp) -> SWState:
     h_r = ex(grid.hhq_rest)
 
     s = state
+
+    # One stacked strip exchange covers every STATE-field stencil sync
+    # of the step (the kernels below then hit the provider's memo): the
+    # batched form of the reference's per-kernel sync lists.
+    batch = [s.hhu, s.hhv, s.hhh, s.ssh, s.ubrtr, s.vbrtr, s.r_diss]
+    if sw.ksw_lat > 0:
+        batch += [s.ubrtrp, s.vbrtrp, s.mu]
+    hp.ex_batch(batch)
 
     # 1. continuity -> sshn                [sync: sshn]
     sshn = swk.update_ssh(tau, lu, dx, dy, dxh, dyh,
@@ -100,6 +112,7 @@ def sw_step(state: SWState, grid: Grid, cfg: ModelConfig, tau, hp) -> SWState:
         str_t, str_s = swk.stress_components(
             lu, luu, dx, dy, dxt, dyt, dxh, dyh, dxb, dyb,
             ex(s.ubrtrp), ex(s.vbrtrp), zp(s.str_t), zp(s.str_s))
+        hp.ex_batch([str_t, str_s])
         rhsx_dif, rhsy_dif = swk.uv_diff2(
             lcu, lcv, dx, dy, dxt, dyt, dxh, dyh, dxb, dyb,
             ex(s.mu), ex(str_t), ex(str_s),
@@ -140,6 +153,7 @@ def sw_step(state: SWState, grid: Grid, cfg: ModelConfig, tau, hp) -> SWState:
                         zp(s.hhh), zp(s.hhh_p), zp(hhh_n))
         # 10. re-init all depth families from rotated (ssh, sshp)
         #                                   [sync: hhu, hhv, hhh]
+        hp.ex_batch([ssh2, sshp2])
         (hhq3, hhq_p3, hhq_n3, hhu3, hhu_p3, hhu_n3,
          hhv3, hhv_p3, hhv_n3, hhh3, hhh_p3, hhh_n3) = dk.hh_init(
             sw.full_free_surface, lu, llu, llv, luh,
@@ -193,6 +207,7 @@ def tracer_step(state: SWState, grid: Grid, cfg: ModelConfig, tau,
             lcu, lcv, dxt, dyt, dxh, dyh, zp(state.hhu), zp(state.hhv),
             ex(ff[k]), zp(ffp[k]), zp(state.ubrtr), zp(state.vbrtr),
             ex(state.mu), 1.0, zp(flux_x), zp(flux_y))
+        hp.ex_batch([fx, fy])
         new_ffn = trk.tran_diff_tracer(
             tau, lu, dx, dy, zp(state.hhq_n), zp(state.hhq_p),
             ex(fx), ex(fy), zp(ffp[k]), zp(ffn[k]))

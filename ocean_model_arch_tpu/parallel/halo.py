@@ -103,6 +103,27 @@ class ShardHalo:
         self._memo[id(f)] = (f, out)
         return out
 
+    def ex_batch(self, fields) -> None:
+        """Exchange several same-shape 2D fields with ONE stacked strip
+        collective per direction instead of one per field — the batched
+        form of the reference's per-kernel sync LISTS (each kernel's
+        stencil arguments sync together, sw_interface.f90:330-381).
+        Results are memoized, so subsequent ``ex(f)`` calls on the same
+        objects are free; unmemoized singles stay correct either way.
+        Cuts the per-step collective count ~3x on the jnp-sharded path
+        (latency-bound thin strips)."""
+        fields = [f for f in fields
+                  if not (self._memo.get(id(f))
+                          and self._memo[id(f)][0] is f)]
+        if not fields:
+            return
+        if len(fields) == 1:
+            self.ex(fields[0])
+            return
+        out = self._ex(jnp.stack(fields))
+        for i, f in enumerate(fields):
+            self._memo[id(f)] = (f, out[i])
+
     def _ex(self, f):
         f = _exchange_axis(f, -2, self.axis_x, self.px, self.periodic_x,
                            self.h)
