@@ -304,7 +304,7 @@ class FusedSharded2DModel:
             rslu_planes=(True if self.static_rslu else None),
             steps_per_call=self.steps_per_call,
             tile_guard=self.tile_guard, guard_y_margin=True,
-            hr_const=self.hr_const)
+            hr_const=self.hr_const, alias_io=True)
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:
@@ -429,6 +429,14 @@ class FusedSharded2DModel:
         dus = lax.dynamic_update_slice_in_dim
         dsl = lax.dynamic_slice_in_dim
 
+        # Single-shard non-periodic axes need NO margin work at all:
+        # the kernel's outputs are ALIASED onto its inputs (alias_io),
+        # so the never-written x-margin rows keep their pack-time zeros,
+        # and the written y-margin lanes are copy-through no-ops on the
+        # land-boxed planes — zeros persist for the whole scan.
+        need_x = px > 1 or self.periodic_x
+        need_y = py > 1 or self.periodic_y
+
         def exchange(f, lxl, lyl):
             """Strip-wise margin refresh of a persistent margined
             (Xs, Ys) carry: the kernel's out windows write only the
@@ -448,34 +456,30 @@ class FusedSharded2DModel:
                 # makes the strips rewrite any overlap)
                 f = dus(f, jnp.zeros((M, f.shape[1]), f.dtype),
                         M + lxl + M, 0)
-            if px == 1:
-                if self.periodic_x:
+            if need_x:
+                if px == 1:                 # periodic wrap, local
                     low = dsl(f, lxl, M, 0)
                     high = f[M:2 * M]
                 else:
-                    low = high = jnp.zeros((M, f.shape[1]), f.dtype)
-            else:
-                # send: last M valid rows fwd, first M valid rows bwd;
-                # edge shards receive ppermute's zero fill = land
-                low = lax.ppermute(dsl(f, lxl, M, 0), "x", fwd_x)
-                high = lax.ppermute(f[M:2 * M], "x", bwd_x)
-            f = dus(f, low, 0, 0)
-            f = dus(f, high, M + lxl, 0) if weighted_x \
-                else dus(f, high, M + self.Xpad, 0)
+                    # send: last M valid rows fwd, first M valid bwd;
+                    # edge shards receive ppermute's zero fill = land
+                    low = lax.ppermute(dsl(f, lxl, M, 0), "x", fwd_x)
+                    high = lax.ppermute(f[M:2 * M], "x", bwd_x)
+                f = dus(f, low, 0, 0)
+                f = dus(f, high, M + lxl, 0) if weighted_x \
+                    else dus(f, high, M + self.Xpad, 0)
             # y strips span ALL rows (including the fresh x strips ->
             # corners arrive from the diagonal neighbour)
-            if py == 1:
-                if self.periodic_y:
+            if need_y:
+                if py == 1:                 # periodic wrap, local
                     lo = dsl(f, lyl, M, 1)
                     hi = f[:, M:2 * M]
                 else:
-                    lo = hi = jnp.zeros((f.shape[0], M), f.dtype)
-            else:
-                lo = lax.ppermute(dsl(f, lyl, M, 1), "y", fwd_y)
-                hi = lax.ppermute(f[:, M:2 * M], "y", bwd_y)
-            f = dus(f, lo, 0, 1)
-            f = dus(f, hi, M + lyl, 1) if weighted_y \
-                else dus(f, hi, M + self.Ymax, 1)
+                    lo = lax.ppermute(dsl(f, lyl, M, 1), "y", fwd_y)
+                    hi = lax.ppermute(f[:, M:2 * M], "y", bwd_y)
+                f = dus(f, lo, 0, 1)
+                f = dus(f, hi, M + lyl, 1) if weighted_y \
+                    else dus(f, hi, M + self.Ymax, 1)
             return f
 
         def local_fn(lu_b, hr_b, met_b, plane_b, lx_b, ly_b, tw_b,

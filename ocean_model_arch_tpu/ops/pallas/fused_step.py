@@ -1002,7 +1002,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         guard_y_margin: bool = False,
                         ty: int | None = None, my: int = 128,
                         hr_const: float | None = None,
-                        stacked: bool = False, rcp_div: bool = False):
+                        stacked: bool = False, rcp_div: bool = False,
+                        alias_io: bool = False):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -1115,6 +1116,22 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     if vmem_limit_bytes is not None and not interpret:
         extra["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes)
+    if alias_io:
+        # Alias every state input to its output: the out windows write
+        # only interior rows, so with a SHARED buffer the margin rows
+        # keep whatever the caller (margin exchange / pack zeros) put
+        # there — the persistent-carry driver then needs NO per-step
+        # re-grounding at all on unsharded axes. (Scalar-prefetch
+        # operands count in the alias indexing.)
+        off = int(bool(tile_guard)) + int(has_lu) + int(has_hr)
+        if stacked:
+            extra["input_output_aliases"] = {off: 0}
+        else:
+            al = {off + j: j for j in range(6)}
+            toff = off + 6 + 1 + int(static_rslu)   # met + planes
+            for t in range(2 * n_tracers):
+                al[toff + t] = 6 + t
+            extra["input_output_aliases"] = al
     rslu_specs = []
     if static_rslu:
         n_pl = len(plane_names(ffs, ksw, mu_const, metrics_2d,
