@@ -31,7 +31,8 @@ class FusedSWModel:
                  steps_per_call: int = 1,
                  tile_guard: bool | None = None,
                  ty: int | None = None, my: int = 128,
-                 stacked: bool = False, rcp_div: bool = False):
+                 stacked: bool = False, rcp_div: bool = False,
+                 persistent: bool = False):
         """``ty``: split the lane extent into (tx x ty) tiles with
         my-lane margins so the wet guard elides land in BOTH axes —
         worth it on realistic coastline masks (Azov: 35-45% of tiles are
@@ -128,6 +129,20 @@ class FusedSWModel:
             hr_const=self.hr_const, stacked=stacked, rcp_div=rcp_div)
         self.stacked = bool(stacked)
         self._lu_s = jnp.asarray(lu_s)
+        # persistent-VMEM megakernel mode: the whole state stays in VMEM
+        # scratch for a full run_steps window (fused_step.py::
+        # build_persistent_sw_step); kernels are built lazily per window
+        # length. Requires the fast profile-metrics envelope.
+        self.persistent = bool(persistent)
+        if persistent:
+            if self.metrics_2d or stacked or ty is not None:
+                raise ValueError("persistent mode: x-uniform metrics, "
+                                 "per-field windows, x-strip tiling only")
+            self._pbuild = dict(
+                lay=self.lay, lu_s=lu_s, hr_s=hr_s, met=met,
+                rslu=rslu, interpret=interpret, rcp_div=rcp_div,
+                vmem=vmem_limit_bytes)
+            self._pcalls = {}
 
     # -- state conversion ------------------------------------------------
     def validate_state(self, state: SWState) -> None:
@@ -179,6 +194,22 @@ class FusedSWModel:
         (vel_ssh.f90:40-67) — a transient blowup at ANY chained step of
         any window trips it. ``n_steps`` must be a multiple of
         ``steps_per_call``."""
+        if self.persistent:
+            if n_steps not in self._pcalls:
+                b = self._pbuild
+                cfg = self.cfg
+                self._pcalls[n_steps] = fsk.build_persistent_sw_step(
+                    b["lay"], b["lu_s"], b["hr_s"], b["met"], self.tau,
+                    cfg.sw.time_smooth, cfg.sw.full_free_surface,
+                    cfg.sw.trans_terms, cfg.sw.ksw_lat, self.mu_const,
+                    n_tracers=self.n_tracers, nsteps=n_steps,
+                    interpret=b["interpret"], rslu_planes=b["rslu"],
+                    hr_const=self.hr_const, rcp_div=b["rcp_div"],
+                    vmem_limit_bytes=b["vmem"])
+            s6, mx = self._pcalls[n_steps](*s6)
+            ok = jnp.max(mx) < swk.SSH_ERR_BOUND   # NaN compares False
+            return s6, ok
+
         spc = self.steps_per_call
         if n_steps % spc:
             raise ValueError(f"n_steps={n_steps} not a multiple of "

@@ -991,6 +991,238 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     return guarded
 
 
+class _Val:
+    """Read-only ref adapter: lets the windowed kernel body consume
+    in-VMEM VALUES (the persistent walk's assembled windows) through its
+    normal ``ref[...]`` / ``ref[i]`` reads."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, idx):
+        if idx is Ellipsis:
+            return self.v
+        return self.v[idx]
+
+
+class _Out:
+    """Write-capture ref adapter for the kernel's output stores."""
+
+    def __init__(self):
+        self.v = None
+
+    def __setitem__(self, idx, val):
+        self.v = val
+
+
+class _PlaneRefs:
+    """Lazy per-plane window adapter: the kernel's ``planes_ref[j]``
+    reads become dynamic row-slices of separate full-resident VMEM
+    blocks (Mosaic CSEs the repeated identical loads)."""
+
+    def __init__(self, refs, row0, rows):
+        self.refs, self.row0, self.rows = refs, row0, rows
+
+    def __getitem__(self, j):
+        return self.refs[j][pl.ds(self.row0, self.rows), :]
+
+
+def build_persistent_sw_step(lay: FusedLayout, lu_s, hhq_rest_s,
+                             metrics_profile, tau: float,
+                             time_smooth: float, ffs: int, trans: int,
+                             ksw: int, mu_const: float = 0.0,
+                             n_tracers: int = 0, nsteps: int = 1,
+                             interpret: bool = False,
+                             rslu_planes=None,
+                             hr_const: float | None = None,
+                             rcp_div: bool = False,
+                             vmem_limit_bytes: int | None = None):
+    """The persistent-VMEM megakernel: ``nsteps`` whole model steps in
+    ONE pallas_call. The full prognostic state lives in VMEM scratch
+    across a (nsteps+2, n_tiles) sequential grid — HBM sees exactly one
+    domain read (t=0) and one write (t=nsteps+1); static planes/metrics
+    ride as constant-index VMEM blocks (fetched once). Steady state is
+    pure VPU: the windowed kernel's ~18% non-overlapped streaming share
+    disappears, and no margin-chaining (steps_per_call) is needed.
+
+    Per (t, i) iteration, tile i's 80-row window is assembled from the
+    scratch state with an in-place OLD-ROW STASH walk: tile i-1 already
+    overwrote rows [i*tx, i*tx+M), so their pre-step values ride an
+    (M, Ys) stash written one iteration earlier — the same single-pass
+    in-place stencil sweep a CPU cache-blocked stencil uses. The
+    per-step |ssh| max accumulates in a scratch block (check_ssh_err
+    cadence preserved).
+
+    Restrictions (v1): x-uniform metrics (profile mode), uniform shapes,
+    no 2D lane tiling / tile guard. Returns ``step(*fields) ->
+    (fields', max)`` advancing ``nsteps`` steps."""
+    assert UNIFORM_SHAPES, "persistent walk requires the uniform graph"
+    M, tx, Ys, Xs = lay.margin, lay.tx, lay.Ys, lay.Xs
+    NT = lay.X // tx
+    TXW = tx + 2 * M
+    static_rslu = rslu_planes is not None
+    fast = static_rslu
+    visc = bool(ksw and mu_const != 0.0)
+    has_lu = not fast
+    has_hr = (not fast) or visc or (n_tracers > 0)
+    nf = 6 + 2 * n_tracers
+    hrc = hr_const if (hr_const is not None and ffs and fast) else None
+    n_pl = (np.asarray(rslu_planes).shape[0] if static_rslu else 0)
+
+    inner = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw,
+                         mu_const, n_tracers, metrics_2d=False,
+                         static_rslu=static_rslu, steps_per_call=1,
+                         has_lu=has_lu, has_hr=has_hr,
+                         tile_guard=False, guard_col=0,
+                         hr_const=hr_const, rcp_div=rcp_div)
+
+    def kernel(*refs):
+        idx = 0
+        ins = refs[idx:idx + nf]
+        idx += nf
+        lu_ref = hr_ref = None
+        if has_lu:
+            lu_ref = refs[idx]
+            idx += 1
+        if has_hr:
+            hr_ref = refs[idx]
+            idx += 1
+        met_ref = refs[idx]
+        idx += 1
+        plane_refs = None
+        if static_rslu:
+            plane_refs = refs[idx:idx + n_pl]
+            idx += n_pl
+        outs = refs[idx:idx + nf]
+        idx += nf
+        omax_ref = refs[idx]
+        idx += 1
+        scr = refs[idx:idx + nf]
+        idx += nf
+        stash = refs[idx:idx + nf]
+        idx += nf
+        gmax = refs[idx]
+        t = pl.program_id(0)
+        i = pl.program_id(1)
+        row0 = i * tx
+
+        @pl.when(t == 0)
+        def _():                       # initial load: HBM -> scratch
+            for k in range(nf):
+                scr[k][pl.ds(row0, TXW), :] = ins[k][...]
+
+            @pl.when(i == 0)
+            def _():
+                gmax[...] = jnp.zeros((8, 128), jnp.float32)
+
+        @pl.when((t > 0) & (t <= nsteps))
+        def _():
+            wins = []
+            for k in range(nf):
+                cur = scr[k][pl.ds(row0, TXW), :]
+                # rows [row0, row0+M) were overwritten by tile i-1:
+                # their OLD values ride the stash (i == 0 reads the
+                # static land margin directly)
+                prev = jnp.where(i > 0, stash[k][...], cur[:M])
+                # next tile's old head, before this tile overwrites it
+                stash[k][...] = cur[tx:tx + M]
+                wins.append(jnp.concatenate([prev, cur[M:]], axis=0))
+            vals = []
+            if has_lu:
+                vals.append(_Val(lu_ref[pl.ds(row0, TXW), :]))
+            if has_hr:
+                vals.append(_Val(hr_ref[pl.ds(row0, TXW), :]))
+            vals += [_Val(w) for w in wins[:6]]
+            vals.append(_Val(met_ref[...]))
+            if static_rslu:
+                vals.append(_PlaneRefs(plane_refs, row0, TXW))
+            vals += [_Val(w) for w in wins[6:]]
+            oad = [_Out() for _ in range(nf)]
+            mad = _Out()
+            inner(*vals, *oad, mad)
+            for k in range(nf):
+                scr[k][pl.ds(row0 + M, tx), :] = oad[k].v
+            gmax[...] = jnp.maximum(gmax[...], mad.v)
+
+        @pl.when(t == nsteps + 1)
+        def _():                       # final flush: scratch -> HBM
+            for k in range(nf):
+                outs[k][...] = scr[k][pl.ds(row0 + M, tx), :]
+            omax_ref[...] = gmax[...]
+
+    # ---- specs: pinned index maps -> one DMA per block ---------------
+    # (Element-typed dims: index maps return ELEMENT offsets. interpret
+    # mode replays every block copy, so it uses plain per-tile maps —
+    # the final flush is the last write and still wins.)
+    if interpret:
+        def in_ix(t, i):
+            return (i * tx, 0)
+
+        def out_ix(t, i):
+            return (i * tx + M, 0)
+    else:
+        def in_ix(t, i):
+            return (jnp.where(t == 0, i, NT - 1) * tx, 0)
+
+        def out_ix(t, i):
+            return (jnp.where(t == nsteps + 1, i, 0) * tx + M, 0)
+
+    def const_ix(*a):
+        return (0, 0)
+
+    win_spec = pl.BlockSpec((pl.Element(TXW), pl.Element(Ys)), in_ix,
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((pl.Element(Xs), pl.Element(Ys)), const_ix,
+                             memory_space=pltpu.VMEM)
+    in_specs = [win_spec] * nf
+    args = []
+    if has_lu:
+        in_specs.append(full_spec)
+        args.append(jnp.asarray(lu_s, jnp.float32))
+    if has_hr:
+        in_specs.append(full_spec)
+        args.append(jnp.asarray(hhq_rest_s, jnp.float32))
+    in_specs.append(pl.BlockSpec((pl.Element(N_PROF), pl.Element(Ys)),
+                                 const_ix, memory_space=pltpu.VMEM))
+    args.append(jnp.asarray(metrics_profile, jnp.float32))
+    if static_rslu:
+        planes_np = np.asarray(rslu_planes, np.float32)
+        for j in range(n_pl):
+            in_specs.append(full_spec)
+            args.append(jnp.asarray(planes_np[j]))
+
+    out_specs = [pl.BlockSpec((pl.Element(tx), pl.Element(Ys)), out_ix,
+                              memory_space=pltpu.VMEM)] * nf \
+        + [pl.BlockSpec((pl.Element(8), pl.Element(128)),
+                        lambda *a: (0, 0), memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((Xs, Ys), jnp.float32)] * nf \
+        + [jax.ShapeDtypeStruct((8, 128), jnp.float32)]
+    scratch = [pltpu.VMEM((Xs, Ys), jnp.float32)] * nf \
+        + [pltpu.VMEM((M, Ys), jnp.float32) for _ in range(nf)] \
+        + [pltpu.VMEM((8, 128), jnp.float32)]
+
+    extra = {}
+    if not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes or 120 * 1024 * 1024)
+    call = pl.pallas_call(
+        kernel,
+        grid=(nsteps + 2, NT),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **extra,
+    )
+
+    def step(*fields):
+        res = call(*fields, *args)
+        return tuple(res[:-1]), res[-1]
+
+    return step
+
+
 def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         tau: float, time_smooth: float, ffs: int,
                         trans: int, ksw: int, mu_const: float = 0.0,

@@ -415,3 +415,33 @@ def test_narrow_chain_matches(monkeypatch):
     got = run()
     for i, (x, y) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(y, x, rtol=0, atol=2e-7, err_msg=str(i))
+
+
+def test_persistent_megakernel_matches():
+    """The persistent-VMEM megakernel (whole state in VMEM scratch
+    across a (T, n_tiles) grid; one HBM read + one write per window;
+    in-place old-row stash walk) matches the chained windowed kernel to
+    f32 round-off, tracers bitwise."""
+    nx, ny = 70, 52
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=Precision.f32())
+    mask = frame_of_land_mask(nx, ny)
+    rng = np.random.RandomState(3)
+    mask[2:-2, 2:-2] |= (rng.rand(nx - 4, ny - 4) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+
+    def run(**kw):
+        fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                          static_rslu=True, **kw)
+        c, ok = fm.run_steps(fm.pack(state), 20)
+        assert bool(ok)
+        return [np.asarray(fsk.extract(fm.lay, a)) for a in c]
+
+    ref = run(steps_per_call=2)
+    got = run(persistent=True)
+    for i, (x, y) in enumerate(zip(ref, got)):
+        rel = np.abs(x - y).max() / max(np.abs(x).max(), 1e-30)
+        assert rel < 1e-5, (i, rel)
