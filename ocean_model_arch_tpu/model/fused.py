@@ -32,7 +32,8 @@ class FusedSWModel:
                  tile_guard: bool | None = None,
                  ty: int | None = None, my: int = 128,
                  stacked: bool = False, rcp_div: bool = False,
-                 persistent: bool = False):
+                 persistent: bool = False,
+                 resident_planes: bool = False):
         """``ty``: split the lane extent into (tx x ty) tiles with
         my-lane margins so the wet guard elides land in BOTH axes —
         worth it on realistic coastline masks (Azov: 35-45% of tiles are
@@ -126,7 +127,8 @@ class FusedSWModel:
             vmem_limit_bytes=vmem_limit_bytes, metrics_2d=self.metrics_2d,
             rslu_planes=rslu, steps_per_call=self.steps_per_call,
             tile_guard=self.tile_guard, ty=ty, my=my,
-            hr_const=self.hr_const, stacked=stacked, rcp_div=rcp_div)
+            hr_const=self.hr_const, stacked=stacked, rcp_div=rcp_div,
+            resident_planes=resident_planes)
         self.stacked = bool(stacked)
         self._lu_s = jnp.asarray(lu_s)
         # persistent-VMEM megakernel mode: the whole state stays in VMEM

@@ -177,7 +177,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  tile_guard: bool = False, guard_col: int = 0,
                  ys_win: int | None = None, n_ty: int = 1,
                  out_col_crop: int = 0, hr_const: float | None = None,
-                 stacked: bool = False, rcp_div: bool = False):
+                 stacked: bool = False, rcp_div: bool = False,
+                 resident_planes: bool = False, n_pl: int = 0):
     M = lay.margin
     assert M >= 4 * steps_per_call, \
         f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
@@ -244,10 +245,18 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             k += 6
         met_ref = refs[k]
         k += 1
-        planes_ref = None
+        planes_ref = plane_frefs = None
         if static_rslu:
-            planes_ref = refs[k]
-            k += 1
+            if resident_planes:
+                # static planes ride as n_pl FULL-ARRAY const-index VMEM
+                # blocks (fetched from HBM once, resident across the
+                # whole grid); SP reads this tile's rows directly —
+                # drops ~40% of the per-tile input DMA
+                plane_frefs = refs[k:k + n_pl]
+                k += n_pl
+            else:
+                planes_ref = refs[k]
+                k += 1
         if stacked:
             tr8 = [s_ref[6 + i] for i in range(2 * n_tracers)]
             out_ref = refs[-2]         # (6+2T, tx, Ys) stacked output
@@ -283,9 +292,17 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 return _roll_y(met[j:j + 1, :], dn, Ys)
         inv2tau = float(1.0 / (2.0 * tau))
 
-        def SP(name, h):
-            """Static-plane slice (see plane_names)."""
-            return sl(C(planes_ref[spx[name]]), M, h)
+        if resident_planes:
+            _prow0 = pl.program_id(0) * lay.tx
+
+            def SP(name, h):
+                """This tile's window rows of the resident plane."""
+                return sl(C(plane_frefs[spx[name]][
+                    pl.ds(_prow0, lay.tx + 2 * M), :]), M, h)
+        else:
+            def SP(name, h):
+                """Static-plane slice (see plane_names)."""
+                return sl(C(planes_ref[spx[name]]), M, h)
 
         def one_step(hb, ho, state, tracers):
             """One full model step: inputs at base halo ``hb``, outputs
@@ -1235,7 +1252,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         ty: int | None = None, my: int = 128,
                         hr_const: float | None = None,
                         stacked: bool = False, rcp_div: bool = False,
-                        alias_io: bool = False):
+                        alias_io: bool = False,
+                        resident_planes: bool = False):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -1289,6 +1307,12 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     if stacked:
         assert lu_s is not None and ty is None, \
             "stacked form: unsharded driver, x-strip tiling only"
+    n_pl_k = (len(plane_names(ffs, ksw, mu_const, metrics_2d,
+                              hr_const=hrc)) if static_rslu else 0)
+    if resident_planes:
+        assert static_rslu and ty is None and not stacked \
+            and not runtime_planes, \
+            "resident planes: fast x-strip non-raw form only"
     kern = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw, mu_const,
                         n_tracers, metrics_2d=metrics_2d,
                         static_rslu=static_rslu,
@@ -1299,7 +1323,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                                    (my if ty is not None else 0)),
                         ys_win=ys_win, n_ty=n_ty,
                         out_col_crop=(my if ty is not None else 0),
-                        stacked=stacked, rcp_div=rcp_div)
+                        stacked=stacked, rcp_div=rcp_div,
+                        resident_planes=resident_planes, n_pl=n_pl_k)
 
     n_tiles = lay.X // tx
 
@@ -1360,23 +1385,30 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             extra["input_output_aliases"] = {off: 0}
         else:
             al = {off + j: j for j in range(6)}
-            toff = off + 6 + 1 + int(static_rslu)   # met + planes
+            toff = off + 6 + 1 \
+                + (n_pl_k if resident_planes else int(static_rslu))
             for t in range(2 * n_tracers):
                 al[toff + t] = 6 + t
             extra["input_output_aliases"] = al
     rslu_specs = []
     if static_rslu:
-        n_pl = len(plane_names(ffs, ksw, mu_const, metrics_2d,
-                               hr_const=hrc))
+        n_pl = n_pl_k
         if not runtime_planes:
             assert np.asarray(rslu_planes).shape[0] == n_pl, \
                 "static planes do not match this config's plane set"
-        rslu_specs = [pl.BlockSpec(
-            (pl.Element(n_pl), pl.Element(tx + 2 * M),
-             pl.Element(ys_win)),
-            lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
-                        xy(*a)[1] * ty if ty else 0),
-            memory_space=pltpu.VMEM)]
+        if resident_planes:
+            # full-array const-index blocks: one HBM fetch, VMEM-
+            # resident for the whole grid
+            rslu_specs = [pl.BlockSpec(
+                (pl.Element(lay.Xs), pl.Element(lay.Ys)),
+                lambda *a: (0, 0), memory_space=pltpu.VMEM)] * n_pl
+        else:
+            rslu_specs = [pl.BlockSpec(
+                (pl.Element(n_pl), pl.Element(tx + 2 * M),
+                 pl.Element(ys_win)),
+                lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
+                            xy(*a)[1] * ty if ty else 0),
+                memory_space=pltpu.VMEM)]
     n_base = int(has_lu) + int(has_hr)
     n_f = 6 + 2 * n_tracers
     if stacked:
@@ -1466,8 +1498,13 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     if has_hr:
         base.append(jnp.asarray(hhq_rest_s, jnp.float32))
     met = jnp.asarray(metrics_profile, jnp.float32)
-    statics = ((jnp.asarray(rslu_planes, jnp.float32),)
-               if static_rslu else ())
+    if static_rslu and resident_planes:
+        pnp = np.asarray(rslu_planes, np.float32)
+        statics = tuple(jnp.asarray(pnp[j]) for j in range(pnp.shape[0]))
+    elif static_rslu:
+        statics = (jnp.asarray(rslu_planes, jnp.float32),)
+    else:
+        statics = ()
     pre = ()
     if tile_guard:
         lu_np = np.asarray(lu_s)

@@ -24,7 +24,7 @@ from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                   static_rslu=False, steps_per_call=1, ty=None, my=128,
                   mask="frame", stacked=False, rcp_div=False,
-                  persistent=False):
+                  persistent=False, resident_planes=False):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -51,7 +51,8 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                       static_rslu=static_rslu,
                       steps_per_call=steps_per_call, ty=ty, my=my,
                       stacked=stacked, rcp_div=rcp_div,
-                      persistent=persistent)
+                      persistent=persistent,
+                      resident_planes=resident_planes)
     carry = fm.pack(state)
 
     @jax.jit
@@ -145,6 +146,10 @@ VARIANTS = {
     "azov896x128": dict(tx=128, trans=1, static_rslu=True,
                         steps_per_call=2, vmem=110 * 1024 * 1024,
                         mask="azov", ty=896),
+    # round 4: static planes as VMEM-resident const-index blocks (one
+    # HBM fetch for the whole scan; per-tile input DMA drops ~40%)
+    "respl64x2": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                      vmem=80 * 1024 * 1024, resident_planes=True),
     # round 4: persistent-VMEM megakernel (whole state in VMEM scratch,
     # 1 HBM read + 1 write per 2000-step window)
     "persist64": dict(tx=64, trans=1, static_rslu=True, persistent=True,

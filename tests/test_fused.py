@@ -445,3 +445,29 @@ def test_persistent_megakernel_matches():
     for i, (x, y) in enumerate(zip(ref, got)):
         rel = np.abs(x - y).max() / max(np.abs(x).max(), 1e-30)
         assert rel < 1e-5, (i, rel)
+
+
+def test_resident_planes_matches():
+    """resident_planes=True (static planes as VMEM-resident const-index
+    blocks read by dynamic row-slice instead of per-tile DMA windows)
+    is bitwise-identical to the windowed form."""
+    nx, ny = 70, 52
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=1),
+                      precision=Precision.f32())
+    mask = frame_of_land_mask(nx, ny)
+    rng = np.random.RandomState(3)
+    mask[2:-2, 2:-2] |= (rng.rand(nx - 4, ny - 4) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=cfg.precision)
+    state = init_ocean_state(grid, cfg)
+
+    def run(**kw):
+        fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                          static_rslu=True, steps_per_call=2, **kw)
+        c, ok = fm.run_steps(fm.pack(state), 20)
+        assert bool(ok)
+        return [np.asarray(fsk.extract(fm.lay, a)) for a in c]
+
+    for x, y in zip(run(), run(resident_planes=True)):
+        np.testing.assert_array_equal(x, y)
