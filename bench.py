@@ -189,6 +189,19 @@ def main(workload: str = "default"):
                                                   fused_available)
 
     basin = basinpar_as250m_test()
+    if workload == "bipolar":
+        # the 2D-metrics fused variant (bipolar conformal grid,
+        # grid_parameters.f90:183): metrics vary in BOTH axes, so the
+        # kernel streams 16 full metric planes per tile — quantifies
+        # the perf envelope outside the x-uniform default. Black-Sea
+        # extents: the Azov-size 2D-metrics program hangs the remote
+        # Mosaic service (same pathology as Azov-size ty tiling,
+        # BASELINE.md "Negative probes")
+        import dataclasses
+        basin = dataclasses.replace(basin, nx=289, ny=163,
+                                    dxst=0.05, dyst=0.04,
+                                    rlon=27.525, rlat=40.94,
+                                    curve_grid=2)
     prec = Precision.f32()
     cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
                       precision=prec)
