@@ -502,6 +502,20 @@ class OceanModel:
                 "jnp-sharded path which cannot honor the file's cut "
                 "lines — use mod_decomposition=0/1 or a fused-capable "
                 "config")
+        if cfg.parallel.debug_level >= 2 and self.mesh is not None:
+            # the reference's sync_test hook (init_data.f90:41-44,
+            # syncborder_block2D_gen_test.fi): verify the halo exchange
+            # against the analytic i*j field before the production loop
+            from ..parallel.halo import halo_self_test
+            px, py = cfg.parallel.mesh_x, cfg.parallel.mesh_y
+            nxt = -(-self.grid.nx // px) * px
+            nyt = -(-self.grid.ny // py) * py
+            halo_self_test(self.mesh, nxt, nyt,
+                           self.grid.periodic_x and nxt == self.grid.nx,
+                           self.grid.periodic_y and nyt == self.grid.ny)
+            if verbose:
+                print("SYNC INFO: halo self-test passed "
+                      f"({px}x{py} mesh)")
         if cfg.parallel.debug_level >= 3:
             # the reference's debug ladder writes decomposition.txt on
             # every run at this level (decomposition.f90:895-909)

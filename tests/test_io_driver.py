@@ -333,3 +333,25 @@ def test_decomposition_config_tail(tmp_path):
     xe, ye = m3._file_cuts
     assert xe[0] == 0 and xe[-1] == 289 and len(xe) == 2  # mesh 1x1: px=1
     assert ye[0] == 0 and ye[-1] == 163
+
+
+def test_driver_halo_self_test_at_debug2(tmp_path):
+    """parallel_dbg >= 2 on a mesh runs the startup halo self-test (the
+    reference's sync_test hook, init_data.f90:41-44) and reports it."""
+    import dataclasses
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    d = _run_dir(tmp_path, "none", 48, 40, steps_min=-1.0,
+                 duration_days=10.0 / 86400.0, parallel_dbg=2)
+    cfg = load_config_dir(d)
+    cfg = dataclasses.replace(
+        cfg, parallel=dataclasses.replace(cfg.parallel, mesh_x=2,
+                                          mesh_y=2))
+    model = OceanModel(cfg, base_dir=d)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        model.run(verbose=True)
+    assert "halo self-test passed" in buf.getvalue()
