@@ -92,7 +92,10 @@ class FusedSharded2DModel:
         # ---- x cut lines ------------------------------------------------
         if x_edges is not None:
             edges = np.asarray(x_edges, np.int64)
-            assert len(edges) == px + 1, (len(edges), px)
+            if len(edges) != px + 1:      # user-editable file input —
+                raise ValueError(         # must survive python -O
+                    f"x_edges has {len(edges)} entries for a px={px} "
+                    "mesh (need px+1)")
         elif weighted and px > 1:
             # equal-wet x cut lines; local pad (not global) absorbs the
             # unequal band widths
@@ -107,7 +110,10 @@ class FusedSharded2DModel:
         # ---- y cut lines ------------------------------------------------
         if y_edges is not None:
             y_edges = np.asarray(y_edges, np.int64)
-            assert len(y_edges) == py + 1, (len(y_edges), py)
+            if len(y_edges) != py + 1:
+                raise ValueError(
+                    f"y_edges has {len(y_edges)} entries for a py={py} "
+                    "mesh (need py+1)")
         elif weighted and py > 1:
             y_edges = weighted_y_edges(int_mask, py, min_width=M)
         else:

@@ -383,17 +383,27 @@ class OceanModel:
         tau = self.cfg.run.tau
         if self._use_fused_sharded():
             from .fused_sharded2d import FusedSharded2DModel
-            if not hasattr(self, "_fused_sh"):
-                # parallel.par mod_decomposition=1 selects the weighted
-                # (equal-wet) cut lines (decomposition.f90:614-669);
-                # =2 installs the cut lines read from file_decomposition
-                fc = self._file_cuts or (None, None)
-                self._fused_sh = FusedSharded2DModel(
-                    self.grid, self.cfg, tau,
-                    self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y,
-                    mu_const=self.state_mu_const(),
-                    weighted=self.cfg.parallel.mod_decomposition == 1,
-                    x_edges=fc[0], y_edges=fc[1])
+            fs = getattr(self, "_fused_sh", None)
+            if fs is not None and n_inner % fs.steps_per_call == 0:
+                return self._fused_sharded_runner(fs, n_inner)
+            # chained 2-steps-per-exchange halves the collective count
+            # AND the launch count (the margin widens instead — module
+            # docstring); odd windows fall back to 1. A rebuild keeps
+            # the cut lines the DLB loop (or mod_decomposition=2)
+            # already selected.
+            spc = 2 if n_inner % 2 == 0 else 1
+            xe, ye = self._file_cuts or (None, None)
+            if fs is not None:
+                xe = np.asarray(fs.x_edges)
+                ye = np.asarray(fs.y_edges)
+            # parallel.par mod_decomposition=1 selects the weighted
+            # (equal-wet) cut lines (decomposition.f90:614-669)
+            self._fused_sh = FusedSharded2DModel(
+                self.grid, self.cfg, tau,
+                self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y,
+                mu_const=self.state_mu_const(),
+                weighted=self.cfg.parallel.mod_decomposition == 1,
+                x_edges=xe, y_edges=ye, steps_per_call=spc)
             return self._fused_sharded_runner(self._fused_sh, n_inner)
         if self.mesh is not None:
             stepn = make_sharded_step(self._grid_s, self.cfg, self.mesh,
@@ -593,16 +603,17 @@ class OceanModel:
                                             self.num_step)
                 else:
                     save_checkpoint(checkpoint_path, final, self.num_step)
-        if verbose:
-            wet = float(np.asarray(self.grid.lu).sum())
-            steps_done = self.num_step - run.init_step
-            t_step = self.timers.acc.get("model_step", 0.0)
-            pts = wet * steps_done / max(t_step, 1e-12)
-            # multi-process: ONE max/min-over-ranks table, printed by
-            # rank 0 (mpp_finalize, mpp.f90:272-341); the gather is
-            # collective, so every process calls it
-            rep = self.timers.reduced_report(
-                extra={"wet_points_per_sec": f"{pts:.3e}"})
-            if jax.process_index() == 0:
-                print(rep)
+        wet = float(np.asarray(self.grid.lu).sum())
+        steps_done = self.num_step - run.init_step
+        t_step = self.timers.acc.get("model_step", 0.0)
+        pts = wet * steps_done / max(t_step, 1e-12)
+        # multi-process: ONE max/min-over-ranks table (mpp_finalize,
+        # mpp.f90:272-341). The gather is COLLECTIVE, so every process
+        # must reach it regardless of its local verbose flag (ranks
+        # often run verbose=(process_index()==0)); only the print is
+        # conditional.
+        rep = self.timers.reduced_report(
+            extra={"wet_points_per_sec": f"{pts:.3e}"})
+        if verbose and jax.process_index() == 0:
+            print(rep)
         return final

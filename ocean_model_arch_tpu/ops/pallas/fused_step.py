@@ -1083,7 +1083,6 @@ def build_persistent_sw_step(lay: FusedLayout, lu_s, hhq_rest_s,
     has_lu = not fast
     has_hr = (not fast) or visc or (n_tracers > 0)
     nf = 6 + 2 * n_tracers
-    hrc = hr_const if (hr_const is not None and ffs and fast) else None
     n_pl = (np.asarray(rslu_planes).shape[0] if static_rslu else 0)
 
     inner = _make_kernel(lay, tau, time_smooth, ffs, trans, ksw,

@@ -162,7 +162,16 @@ def halo_self_test(mesh, nx: int, ny: int,
     hp = ShardHalo(px, py, periodic_x, periodic_y, h=h)
     ex = jax.jit(jax.shard_map(hp.ex, mesh=mesh, in_specs=P("x", "y"),
                                out_specs=P("x", "y"), check_vma=False))
-    out = np.asarray(ex(f))
+    res = ex(f)
+    if jax.process_count() > 1:
+        # the mesh spans processes: materialize the global result with
+        # a collective fetch (np.asarray on non-addressable shards
+        # raises)
+        from jax.experimental import multihost_utils
+        out = np.asarray(multihost_utils.process_allgather(res,
+                                                           tiled=True))
+    else:
+        out = np.asarray(res)
     lx, ly = nx // px, ny // py
     blocks = out.reshape(px, lx + 2 * h, py, ly + 2 * h)
     gi = np.arange(-h, lx + h)

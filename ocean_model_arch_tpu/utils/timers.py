@@ -58,7 +58,9 @@ class PhaseTimers:
         payload = json.dumps({"acc": self.acc,
                               "count": self.count}).encode()
         cap = 1 << 14
-        assert len(payload) < cap, "timer table too large to gather"
+        if len(payload) >= cap:           # silent truncation under -O
+            raise ValueError("timer table too large to gather "
+                             f"({len(payload)} bytes >= {cap})")
         buf = np.zeros(cap, np.uint8)
         buf[:len(payload)] = np.frombuffer(payload, np.uint8)
         allb = np.asarray(multihost_utils.process_allgather(buf))

@@ -24,14 +24,21 @@ from ocean_model_arch_tpu.utils.cache import enable_compilation_cache
 def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                   static_rslu=False, steps_per_call=1, ty=None, my=128,
                   mask="frame", stacked=False, rcp_div=False,
-                  persistent=False, resident_planes=False):
+                  persistent=False, resident_planes=False,
+                  narrow_chain=False):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
     from ocean_model_arch_tpu.core.masks import frame_of_land_mask
     from ocean_model_arch_tpu.model.fused import FusedSWModel
     from ocean_model_arch_tpu.model.init import init_ocean_state
+    from ocean_model_arch_tpu.ops.pallas import fused_step as _fsk
     import dataclasses
+
+    if narrow_chain:
+        # set the module flag directly: relying on the env var alone
+        # would silently benchmark the default kernel under this label
+        _fsk.NARROW_CHAIN = True
 
     basin = basinpar_as250m_test()
     prec = Precision.f32()
@@ -157,7 +164,8 @@ VARIANTS = {
     # round 4: chained-step frame narrowing (step B on 72 rows) — set
     # OCEAN_FUSED_NARROW_CHAIN=1 in the env; variant alias for logs
     "narrow64x2": dict(tx=64, trans=1, static_rslu=True,
-                       steps_per_call=2, vmem=64 * 1024 * 1024),
+                       steps_per_call=2, vmem=64 * 1024 * 1024,
+                       narrow_chain=True),
 }
 
 

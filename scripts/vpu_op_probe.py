@@ -62,9 +62,26 @@ def make(kind, k):
                 op = pltpu.roll(b, 1, 0)
             elif kind == "rolly":
                 op = pltpu.roll(b, 1, 1)
+            elif kind in ("mulf32", "mulbf16"):
+                op = None              # handled below (pure mul chains)
             else:
                 raise ValueError(kind)
-            b = b * np.float32(0.999) + op * np.float32(1e-4)
+            if op is not None:
+                b = b * np.float32(0.999) + op * np.float32(1e-4)
+        if kind == "mulf32":
+            # dependent SQUARING chain — constant-multiplier chains get
+            # folded to b*c^k (measured: flat time vs k); b*b cannot
+            b = b * np.float32(0.9999)
+            for _ in range(k):
+                b = b * b
+        elif kind == "mulbf16":
+            # same squaring chain in bf16: measures whether the VPU
+            # runs bf16 elementwise at a higher rate than f32 (the r3
+            # verdict's bf16-tail suggestion hinges on this)
+            bb = (b * np.float32(0.9999)).astype(jnp.bfloat16)
+            for _ in range(k):
+                bb = bb * bb
+            b = bb.astype(jnp.float32)
         o_ref[...] = jax.lax.slice(b, (M, 0), (M + TX, YS))
 
     n_tiles = (XS - 2 * M) // TX
@@ -91,7 +108,8 @@ def make(kind, k):
 def main():
     enable_compilation_cache()
     kinds = sys.argv[1:] or ["plain", "div", "rcp", "rcpn", "sel",
-                             "bmul", "rollx", "rolly"]
+                             "bmul", "rollx", "rolly", "mulf32",
+                             "mulbf16"]
     # n must be large: the tunneled chip's dispatch latency (~40 ms) and
     # short-run jitter swamp anything under ~100 ms of device time
     ks = (16, 64)
