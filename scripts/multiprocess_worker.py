@@ -69,8 +69,10 @@ def main_fused2d(proc_id: int, nproc: int, port: int, outdir: str) -> None:
 
     assert nproc == 4 and len(jax.devices()) == 4
     grid, cfg, state = build_workload(nproc)
+    # steps_per_call=2 — the production driver's chained-exchange mode
+    # (one margin exchange per TWO model steps crosses Gloo)
     fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
-                             devices=jax.devices())
+                             devices=jax.devices(), steps_per_call=2)
     c, ok = fm.make_runner(N1)(fm.pack(state))
     assert bool(ok), "stability guard tripped across processes (fused2d)"
     c, ok = fm.make_runner(N2)(c)

@@ -123,7 +123,8 @@ def test_multiprocess_fused2d_2x2(tmp_path):
 
     grid, cfg, state = mw.build_workload(nproc)
     fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
-                             devices=jax.devices()[:4])
+                             devices=jax.devices()[:4],
+                             steps_per_call=2)
     c, ok = fm.make_runner(mw.N1)(fm.pack(state))
     assert bool(ok)
     c, ok = fm.make_runner(mw.N2)(c)
