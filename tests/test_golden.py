@@ -91,3 +91,35 @@ def test_golden_bs100_f32_fused():
         done = int(s)
         assert bool(ok)
         _check(fm.unpack(s6, state), s, rtol=3e-4, pt_atol=5e-6)
+
+
+def test_validation_bundle_consistent():
+    """The committed 10k-step A/B bundle is internally consistent: the
+    RESULTS_TPU records match the digests in tests/golden_bs10k.json
+    (guards against either half being regenerated without the other —
+    the bundle is the committed side of the BASELINE Fortran gate)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ocean_model_arch_tpu.io import grads
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "tests", "golden_bs10k.json")) as f:
+        g = json.load(f)
+    d = os.path.join(repo, "examples", "validation_bs10k", "RESULTS_TPU")
+    pts = [tuple(p) for p in g["points"]]
+    for name, recs in (("ssh", 11), ("hhq", 1), ("ff1", 11)):
+        path = os.path.join(d, f"{name}.dat")
+        for r in range(1, recs + 1):
+            a = np.asarray(grads.read_record(path, r, 289, 163),
+                           np.float64)
+            want = g["records"][name][r - 1]
+            assert abs(a.sum() - want["sum"]) <= 1e-9 * max(
+                1.0, abs(want["sum"])), (name, r)
+            got_l2 = float(np.sqrt((a * a).sum()))
+            assert abs(got_l2 - want["l2"]) <= 1e-9 * max(
+                1.0, want["l2"]), (name, r)
+            for (i, j), v in zip(pts, want["points"]):
+                assert a[i, j] == v, (name, r, i, j)
