@@ -99,9 +99,12 @@ VARIANTS = {
     "rslu64": dict(tx=64, trans=1, static_rslu=True),
     "rslu128": dict(tx=128, trans=1, vmem=48 * 1024 * 1024,
                     static_rslu=True),
-    # v2 kernel: config-dependent static planes + steps_per_call chaining
-    "rslu64x2": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
-                     vmem=64 * 1024 * 1024),
+    # v2 kernel: config-dependent static planes + steps_per_call chaining.
+    # NO vmem cap: capping at 64 MB costs ~10% (15.37 vs 16.87 same-
+    # session, r4) — Mosaic pipelines deeper with the default budget;
+    # this is also why bench.py (uncapped) reads ~1.5 Gpts/s above the
+    # historically capped probe numbers
+    "rslu64x2": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2),
     "rslu128x2": dict(tx=128, trans=1, static_rslu=True, steps_per_call=2,
                       vmem=100 * 1024 * 1024),
     "plain64x2": dict(tx=64, trans=1, static_rslu=False, steps_per_call=2,
