@@ -174,3 +174,38 @@ def test_periodic_channel_wraps():
     assert np.isfinite(s).all()
     # field reached the seam columns (periodic transport happened)
     assert np.abs(s[0, 5:-5]).max() > 1e-6
+
+
+def test_ex_batch_matches_per_field():
+    """ShardHalo.ex_batch (one stacked strip collective per direction —
+    the batched sync-list form) produces bitwise the same margined
+    fields as per-field ex()."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ocean_model_arch_tpu.parallel.halo import ShardHalo
+    from ocean_model_arch_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, 2, jax.devices()[:4])
+    rng = np.random.RandomState(7)
+    fields = [jax.device_put(rng.randn(16, 24).astype(np.float32),
+                             NamedSharding(mesh, P("x", "y")))
+              for _ in range(3)]
+
+    def batched(*fs):
+        hp = ShardHalo(2, 2)
+        hp.ex_batch(list(fs))
+        return tuple(hp.ex(f) for f in fs)       # memo hits
+
+    def single(*fs):
+        hp = ShardHalo(2, 2)
+        return tuple(hp.ex(f) for f in fs)
+
+    run_b = jax.jit(jax.shard_map(
+        batched, mesh=mesh, in_specs=(P("x", "y"),) * 3,
+        out_specs=(P("x", "y"),) * 3, check_vma=False))
+    run_s = jax.jit(jax.shard_map(
+        single, mesh=mesh, in_specs=(P("x", "y"),) * 3,
+        out_specs=(P("x", "y"),) * 3, check_vma=False))
+    for a, b in zip(run_b(*fields), run_s(*fields)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
