@@ -474,12 +474,20 @@ class OceanModel:
     # ------------------------------------------------------------------
     def run(self, checkpoint_path: Optional[str] = None,
             verbose: bool = True,
-            checkpoint_format: str = "npz") -> SWState:
+            checkpoint_format: str = "npz",
+            checkpoint_every: Optional[int] = None) -> SWState:
         """The main time loop (model.f90:132-200).
 
         ``checkpoint_format``: "npz" (host-gathered single file) or
         "orbax" (per-shard tensorstore directory; multi-host capable).
-        Resume auto-detects: a directory is an orbax checkpoint."""
+        Resume auto-detects: a directory is an orbax checkpoint.
+
+        ``checkpoint_every``: write a restart point to
+        ``checkpoint_path`` every N steps DURING the run (rounded to
+        the output-window boundaries the loop already returns to host
+        on) — production restart safety beyond the reference, which
+        only writes diagnostics mid-run. Resume (start_type=1) picks
+        the run up from the last completed window."""
         cfg = self.cfg
         run = cfg.run
         n_total = run.num_step_max
@@ -585,6 +593,25 @@ class OceanModel:
                                             cfg.basin.ny)
                                  if sharded else state)
                     self._output(out_state, nrec)
+            if checkpoint_path and checkpoint_every \
+                    and done < n_total \
+                    and done % max(checkpoint_every, 1) < n_batch:
+                with self.timers.phase("checkpoint"):
+                    ck_state = (crop_state(state, cfg.basin.nx,
+                                           cfg.basin.ny)
+                                if sharded else state)
+                    if checkpoint_format == "orbax" \
+                            or os.path.isdir(checkpoint_path):
+                        from ..io.checkpoint import \
+                            save_checkpoint_sharded
+                        save_checkpoint_sharded(checkpoint_path,
+                                                ck_state, self.num_step)
+                    else:
+                        save_checkpoint(checkpoint_path, ck_state,
+                                        self.num_step)
+                if verbose:
+                    print(f"MODEL: restart point at step "
+                          f"{self.num_step} -> {checkpoint_path}")
             if verbose:
                 t = model_time(self.num_step, run.tau, run.init_year)
                 print(f"MODEL: step {self.num_step}/{n_total}  {t.stamp()}")

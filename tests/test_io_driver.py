@@ -355,3 +355,55 @@ def test_driver_halo_self_test_at_debug2(tmp_path):
     with redirect_stdout(buf):
         model.run(verbose=True)
     assert "halo self-test passed" in buf.getvalue()
+
+
+def test_periodic_checkpointing(tmp_path):
+    """checkpoint_every writes restart points DURING the run; resuming
+    from the mid-run restart reproduces the straight run exactly
+    (production restart safety; the reference only writes diagnostics
+    mid-run)."""
+    import dataclasses
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from ocean_model_arch_tpu.model.model import OceanModel, load_config_dir
+
+    d = _run_dir(tmp_path, "none", 40, 30, steps_min=0.5,
+                 duration_days=60.0 / 86400.0)   # 60 steps, 30/window
+    cfg = load_config_dir(d)
+    full = OceanModel(cfg, base_dir=d).run(verbose=False)
+
+    ck = str(tmp_path / "restart.npz")
+    m = OceanModel(cfg, base_dir=d)
+    # simulate a crash DURING the second window, after the step-30
+    # restart point was written but before the end-of-run save: hook
+    # the per-window output (runs before the restart block), so the
+    # crash fires at nrec=3 when the step-30 restart already exists
+    orig_out = m._output
+
+    def out_hook(state, nrec):
+        orig_out(state, nrec)
+        if nrec >= 3:
+            assert os.path.exists(ck)
+            raise KeyboardInterrupt
+    m._output = out_hook
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        try:
+            m.run(checkpoint_path=ck, verbose=True, checkpoint_every=30)
+            raise AssertionError("crash hook never fired")
+        except KeyboardInterrupt:
+            pass
+    assert "restart point at step 30" in buf.getvalue()
+
+    # the surviving file is the MID-RUN restart (step 30); resuming it
+    # must reproduce the straight 60-step run bit-for-bit
+    from ocean_model_arch_tpu.io.checkpoint import load_checkpoint
+    _, step30 = load_checkpoint(ck)
+    assert step30 == 30
+    resumed_cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, start_type=1))
+    final = OceanModel(resumed_cfg, base_dir=d).run(checkpoint_path=ck,
+                                                    verbose=False)
+    np.testing.assert_allclose(np.asarray(final.ssh),
+                               np.asarray(full.ssh), rtol=0, atol=0)
