@@ -95,7 +95,8 @@ class OceanModel:
             from ..parallel.decomposition import (cuts_from_decomposition,
                                                   read_decomposition)
             dec = read_decomposition(
-                os.path.join(base_dir, cfg.parallel.file_decomposition))
+                os.path.join(base_dir, cfg.parallel.file_decomposition),
+                nx=basin.nx, ny=basin.ny)
             xe, ye = cuts_from_decomposition(dec, px, py)
             # block grids cover the significant interior [2, n-2); shard
             # cuts span the full padded domain (the frame is land)
@@ -337,6 +338,14 @@ class OceanModel:
         (check_ssh_err_kernel); the fused scan only carries a window-level
         scalar, so the failed window is replayed un-fused host-side."""
         first = done - n_batch
+        if jax.process_count() > 1:
+            # multi-process shards are not host-addressable here; a
+            # crop/replay would raise a different exception and mask the
+            # diagnostic — fall back to the plain window-range error
+            raise FloatingPointError(
+                "SIGFPRE predict error: |ssh| bound exceeded between "
+                f"steps {first + 1} and {done} (multi-process run; "
+                "re-run single-process to localize the cell)")
         if sharded:     # padded jnp-sharded state -> plain global view
             prev_state = crop_state(prev_state, self.cfg.basin.nx,
                                     self.cfg.basin.ny)

@@ -332,26 +332,67 @@ def dump_decomposition(dec: BlockDecomposition, path: str) -> None:
                         f"{dec.weights[i, j]} {dec.owner[i, j]}\n")
 
 
-def read_decomposition(path: str) -> BlockDecomposition:
-    """Read a decomposition.txt dump back (the inverse of
-    :func:`dump_decomposition`; the reference only ever WRITES this
-    format, decomposition.f90:895-909 — reading it back is what makes
-    parallel.par's mod_decomposition=2 / file_decomposition line real)."""
+def read_decomposition(path: str, nx: int | None = None,
+                       ny: int | None = None) -> BlockDecomposition:
+    """Read a decomposition file back — either format:
+
+    - this repo's 8-column dump (:func:`dump_decomposition`: header
+      ``bnx bny``, rows ``i j x0 x1 y0 y1 weight owner``, 0-based, with
+      explicit block edges), or
+    - the reference's own ``decomposition.txt`` (decomposition.f90:
+      898-904: header ``bnx bny pnx pny``, rows ``m n proc weight`` with
+      1-based block indices and NO edges). For this format the block
+      edges are reconstructed from the reference's uniform split of the
+      significant interior (block_uniform_decomposition: iterated
+      ``floor(remaining/blocks_left)`` over ``nx-4`` points starting at
+      the 2-cell frame — identical to ``2 + floor((nx-4)*i/bnx)``), so
+      ``nx``/``ny`` must be passed.
+
+    Unrecognized row shapes raise instead of being skipped — a silently
+    half-parsed file would surface later as a misleading shard error.
+    """
     with open(path) as f:
-        bnx, bny = map(int, f.readline().split()[:2])
+        header = f.readline().split()
+        bnx, bny = int(header[0]), int(header[1])
+        ref_format = len(header) >= 4
         xe = np.zeros(bnx + 1, np.int64)
         ye = np.zeros(bny + 1, np.int64)
         w = np.zeros((bnx, bny), np.int64)
         owner = -np.ones((bnx, bny), np.int64)
-        for line in f:
+        if ref_format:
+            if nx is None or ny is None:
+                raise ValueError(
+                    f"{path} is a reference-format decomposition.txt "
+                    "(header 'bnx bny pnx pny', rows 'm n proc weight' "
+                    "carry no block edges); pass nx/ny so the uniform "
+                    "block edges can be reconstructed")
+            xe[:] = 2 + (np.arange(bnx + 1, dtype=np.int64)
+                         * (nx - 4)) // bnx
+            ye[:] = 2 + (np.arange(bny + 1, dtype=np.int64)
+                         * (ny - 4)) // bny
+        for lineno, line in enumerate(f, start=2):
             parts = line.split()
-            if len(parts) < 8:
+            if not parts:
                 continue
-            i, j, x0, x1, y0, y1 = map(int, parts[:6])
-            xe[i], xe[i + 1] = x0, x1
-            ye[j], ye[j + 1] = y0, y1
-            w[i, j] = int(float(parts[6]))
-            owner[i, j] = int(parts[7])
+            if ref_format:
+                if len(parts) != 4:
+                    raise ValueError(
+                        f"{path}:{lineno}: expected 4 columns "
+                        f"'m n proc weight', got {len(parts)}")
+                i, j = int(parts[0]) - 1, int(parts[1]) - 1
+                owner[i, j] = int(parts[2])
+                w[i, j] = int(float(parts[3]))
+            else:
+                if len(parts) != 8:
+                    raise ValueError(
+                        f"{path}:{lineno}: expected 8 columns "
+                        f"'i j x0 x1 y0 y1 weight owner', got "
+                        f"{len(parts)}")
+                i, j, x0, x1, y0, y1 = map(int, parts[:6])
+                xe[i], xe[i + 1] = x0, x1
+                ye[j], ye[j + 1] = y0, y1
+                w[i, j] = int(float(parts[6]))
+                owner[i, j] = int(parts[7])
     return BlockDecomposition(bnx, bny, w, owner, xe, ye)
 
 

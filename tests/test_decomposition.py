@@ -156,3 +156,42 @@ def test_decomposition_file_roundtrip(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="regular grid"):
         dd.cuts_from_decomposition(dd.read_decomposition(p2), 4, 2)
+
+
+def test_read_reference_format_decomposition(tmp_path):
+    """The reference's own decomposition.txt (decomposition.f90:898-904:
+    header 'bnx bny pnx pny', rows 'm n proc weight', 1-based, no
+    edges) parses with edges reconstructed from the uniform interior
+    split, and malformed rows raise instead of being skipped."""
+    import pytest
+    nx, ny = 104, 54           # interior 100 x 50
+    p = str(tmp_path / "decomposition.txt")
+    with open(p, "w") as f:
+        # Fortran list-directed output: leading blanks, real8 weights
+        f.write("  4  2  2  2\n")
+        for m in range(1, 5):
+            for n in range(1, 3):
+                proc = (m - 1) // 2 * 2 + (n - 1)
+                f.write(f"  {m}  {n}  {proc}  "
+                        f"{float(10 * m + n):.16f}\n")
+    dec = dd.read_decomposition(p, nx=nx, ny=ny)
+    assert (dec.bnx, dec.bny) == (4, 2)
+    np.testing.assert_array_equal(dec.x_edges, [2, 27, 52, 77, 102])
+    np.testing.assert_array_equal(dec.y_edges, [2, 27, 52])
+    assert dec.owner[0, 0] == 0 and dec.owner[3, 1] == 3
+    assert dec.weights[2, 1] == 32
+    # regular 2x2-blocks-per-proc assignment -> cut lines recover
+    xe, ye = dd.cuts_from_decomposition(dec, 2, 2)
+    np.testing.assert_array_equal(xe, [2, 52, 102])
+
+    # without nx/ny the edges cannot be reconstructed
+    with pytest.raises(ValueError, match="pass nx/ny"):
+        dd.read_decomposition(p)
+
+    # malformed rows raise (no silent skip)
+    p2 = str(tmp_path / "bad.txt")
+    with open(p2, "w") as f:
+        f.write("2 2\n")
+        f.write("0 0 0 10 0 10 5\n")      # 7 columns
+    with pytest.raises(ValueError, match="expected 8 columns"):
+        dd.read_decomposition(p2)
