@@ -33,7 +33,10 @@ class FusedSWModel:
                  ty: int | None = None, my: int = 128,
                  stacked: bool = False, rcp_div: bool = False,
                  persistent: bool = False,
-                 resident_planes: bool = False):
+                 resident_planes: bool = False,
+                 elide_sel: bool | None = None, q4: bool | None = None,
+                 share_prev: bool | None = None,
+                 fast2d: bool | None = None):
         """``ty``: split the lane extent into (tx x ty) tiles with
         my-lane margins so the wet guard elides land in BOTH axes —
         worth it on realistic coastline masks (Azov: 35-45% of tiles are
@@ -55,13 +58,33 @@ class FusedSWModel:
                                        steps_per_call=steps_per_call)
         m = self.lay.margin
         # x-uniform metrics ride as latitude profiles (free broadcast);
-        # bipolar/curvilinear grids stream full (16, Xs, Ys) planes
+        # bipolar/curvilinear grids stream full metric planes — by
+        # default through the fast-2D kernel (round 5): the fast-mode
+        # restructurings with pointwise planes, streaming ONLY the rows
+        # this config consumes (fast2d_met_rows) instead of all 16
         try:
             met = fsk.metrics_profile_from_grid(grid, self.lay)
             self.metrics_2d = False
+            self.fast2d = False
+            self._met_map = None
         except ValueError:
-            met = fsk.metrics_full_from_grid(grid, self.lay)
             self.metrics_2d = True
+            self.fast2d = (bool(static_rslu) if fast2d is None
+                           else bool(fast2d))
+            if self.fast2d and not static_rslu:
+                raise ValueError("fast2d requires static_rslu=True")
+            met22 = fsk.metrics_full_from_grid(grid, self.lay,
+                                               derived=self.fast2d)
+            if self.fast2d:
+                visc2 = bool(cfg.sw.ksw_lat and mu_const != 0.0)
+                rows = fsk.fast2d_met_rows(cfg.sw.trans_terms, visc2,
+                                           self.n_tracers)
+                self._met_map = {r: i for i, r in enumerate(rows)}
+                met = met22[list(rows)]
+                self._met22 = met22        # plane building below
+            else:
+                met = met22
+                self._met_map = None
         yp = self.lay.ypad
         lu_s = np.zeros((self.lay.Xs, self.lay.Ys), np.float32)
         lu_s[m:m + grid.nx, yp:yp + grid.ny] = np.asarray(grid.lu)
@@ -77,20 +100,48 @@ class FusedSWModel:
         hr_np = np.asarray(grid.hhq_rest, np.float32)
         self.hr_const = (float(hr_np.flat[0])
                          if np.ptp(hr_np) == 0.0 else None)
+        # round-5 fast-mode arithmetic reductions (fused_step.py):
+        # elide_sel / q4 are bit-exact and default ON in fast mode;
+        # share_prev regroups the chained-step prev-depth interps
+        # (f32 round-off) and stays opt-in
+        fast = bool(static_rslu) and (not self.metrics_2d
+                                      or self.fast2d)
+        auto = fast and not persistent   # the persistent probe builder
+        self.elide_sel = auto if elide_sel is None else bool(elide_sel)
+        self.q4 = auto if q4 is None else bool(q4)
+        self.share_prev = (auto if share_prev is None
+                           else bool(share_prev)) and steps_per_call > 1
+        if (self.elide_sel or self.q4 or self.share_prev) and not fast:
+            raise ValueError("elide_sel/q4/share_prev require fast mode "
+                             "(static_rslu=True, x-uniform metrics or "
+                             "fast2d)")
+        if persistent and (self.elide_sel or self.q4 or self.share_prev):
+            raise ValueError("persistent probe mode predates the round-5 "
+                             "reductions; pass elide_sel=q4=False")
         if static_rslu:
-            if self.metrics_2d:
+            # fast mode: fold the interpolation metric factors into the
+            # rslu planes (one multiply per depth interpolation); q4
+            # additionally folds the advection 1/4 into the u/v recips
+            # (exact power-of-two scale, compensated in-kernel)
+            qs = np.float32(0.25) if self.q4 else np.float32(1.0)
+            if self.fast2d:
+                m22 = self._met22
+                dxdy = m22[0] * m22[1]               # (Xs, Ys) planes
+                recips = (m22[10] * qs, m22[11] * qs, m22[14] * m22[15])
+            elif self.metrics_2d:
                 dxdy = met[0] * met[1]               # (Xs, Ys) planes
+                recips = None
             else:
                 dxdy = (met[0] * met[1])[None, :]    # (1, Ys) profile
+                recips = (met[10:11] * qs, met[11:12] * qs,
+                          (met[14] * met[15])[None])
             names = fsk.plane_names(
                 cfg.sw.full_free_surface, cfg.sw.ksw_lat, self.mu_const,
                 self.metrics_2d,
-                hr_const=(self.hr_const if not self.metrics_2d
-                          else None))
-            # fast mode: fold the interpolation metric factors into the
-            # rslu planes (one multiply per depth interpolation)
-            recips = (None if self.metrics_2d else
-                      (met[10:11], met[11:12], (met[14] * met[15])[None]))
+                hr_const=(self.hr_const
+                          if (not self.metrics_2d or self.fast2d)
+                          else None),
+                fast2d=self.fast2d)
             rslu = fsk.static_planes(lu_s, hr_s, dxdy, names,
                                      interp_recips=recips)
         else:
@@ -114,7 +165,7 @@ class FusedSWModel:
                 not (lu_s[m + i * tx: m + (i + 1) * tx]
                      > 0.5).any() for i in range(n_tiles))
         self.tile_guard = bool(tile_guard)
-        if rcp_div and not (static_rslu and not self.metrics_2d):
+        if rcp_div and not fast:
             # the flag is only consulted in the kernel's fast branch;
             # silently handing back exact divides would misreport what
             # was measured
@@ -128,7 +179,24 @@ class FusedSWModel:
             rslu_planes=rslu, steps_per_call=self.steps_per_call,
             tile_guard=self.tile_guard, ty=ty, my=my,
             hr_const=self.hr_const, stacked=stacked, rcp_div=rcp_div,
-            resident_planes=resident_planes)
+            resident_planes=resident_planes, elide_sel=self.elide_sel,
+            q4=self.q4, share_prev=self.share_prev, fast2d=self.fast2d,
+            met_map=self._met_map, n_met=int(met.shape[0])
+            if self.metrics_2d else 16)
+        if self.elide_sel:
+            # land-zero invariant the elided selects rely on: mask the
+            # velocity/tracer carriers once at pack time (bit-exact for
+            # every state the framework produces — land velocities are
+            # zero-init and never written; sw_next_step only updates
+            # wlcu/wlcv points)
+            lu_b = lu_s > 0.5
+            x1 = np.zeros_like(lu_b)
+            x1[:-1] = lu_b[1:]
+            y1 = np.zeros_like(lu_b)
+            y1[:, :-1] = lu_b[:, 1:]
+            self._wlcu = jnp.asarray((lu_b & x1).astype(np.float32))
+            self._wlcv = jnp.asarray((lu_b & y1).astype(np.float32))
+            self._wlu = jnp.asarray(lu_b.astype(np.float32))
         self.stacked = bool(stacked)
         self._lu_s = jnp.asarray(lu_s)
         # persistent-VMEM megakernel mode: the whole state stays in VMEM
@@ -159,11 +227,21 @@ class FusedSWModel:
         """SWState -> (6 + 2*T)-tuple in fused layout (jit-safe); the
         stacked form returns ONE (6+2T, Xs, Ys) array instead."""
         e = lambda a: fsk.embed(self.lay, a)
-        carry = [e(state.ssh), e(state.sshp), e(state.ubrtr),
-                 e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp)]
-        for t in range(self.n_tracers):
-            carry.append(e(state.ff[t]))
-            carry.append(e(state.ffp[t]))
+        if self.elide_sel:
+            carry = [e(state.ssh), e(state.sshp),
+                     e(state.ubrtr) * self._wlcu,
+                     e(state.ubrtrp) * self._wlcu,
+                     e(state.vbrtr) * self._wlcv,
+                     e(state.vbrtrp) * self._wlcv]
+            for t in range(self.n_tracers):
+                carry.append(e(state.ff[t]) * self._wlu)
+                carry.append(e(state.ffp[t]) * self._wlu)
+        else:
+            carry = [e(state.ssh), e(state.sshp), e(state.ubrtr),
+                     e(state.ubrtrp), e(state.vbrtr), e(state.vbrtrp)]
+            for t in range(self.n_tracers):
+                carry.append(e(state.ff[t]))
+                carry.append(e(state.ffp[t]))
         if self.stacked:
             return jnp.stack(carry)
         return tuple(carry)

@@ -65,7 +65,11 @@ class FusedSharded2DModel:
                  interpret: bool = False, mu_const: float = 0.0,
                  static_rslu: bool = True, steps_per_call: int = 1,
                  weighted: bool = False, tile_guard: bool = True,
-                 compute_powers_x=None, x_edges=None, y_edges=None):
+                 compute_powers_x=None, compute_powers_y=None,
+                 x_edges=None, y_edges=None,
+                 elide_sel: bool | None = None, q4: bool | None = None,
+                 share_prev: bool | None = None,
+                 fast2d: bool | None = None):
         """``compute_powers_x``: per-x-band relative throughput targets
         for the weighted cuts (the DLB loop's measured compute_power,
         control/preprocess.f90:71-72) — band k receives a wet share
@@ -115,7 +119,8 @@ class FusedSharded2DModel:
                     f"y_edges has {len(y_edges)} entries for a py={py} "
                     "mesh (need py+1)")
         elif weighted and py > 1:
-            y_edges = weighted_y_edges(int_mask, py, min_width=M)
+            y_edges = weighted_y_edges(int_mask, py, min_width=M,
+                                       compute_powers=compute_powers_y)
         else:
             yl_u = -(-grid.ny // py)
             y_edges = np.arange(py + 1, dtype=np.int64) * yl_u
@@ -237,10 +242,27 @@ class FusedSharded2DModel:
             self.metrics_2d = False
         except ValueError:
             self.metrics_2d = True
+        self.fast2d = (bool(static_rslu) and self.metrics_2d
+                       if fast2d is None
+                       else bool(fast2d))
+        if self.fast2d and not (static_rslu and self.metrics_2d):
+            raise ValueError("fast2d requires static_rslu and 2D metrics")
         met_sh = prof_sh = None
+        self._met_map = None
         if self.metrics_2d:
-            met_g = self._global_planes(grid)         # (16, Eg+2M, Yg+2M)
-            met_sh = shard4(met_g, lead=1)
+            met_g = self._global_planes(grid, derived=self.fast2d)
+            if self.fast2d:
+                # stream only the consumed metric rows (fast2d_met_rows)
+                visc2 = bool(cfg.sw.ksw_lat and mu_const)
+                n_tr = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
+                        else 0)
+                rows = fsk.fast2d_met_rows(cfg.sw.trans_terms, visc2,
+                                           n_tr)
+                self._met_map = {r: i for i, r in enumerate(rows)}
+                met_sh = shard4(met_g[list(rows)], lead=1)
+            else:
+                met_sh = shard4(met_g, lead=1)
+            self._met_g = met_g        # full stack: static-plane recips
             self.met_shards = jnp.asarray(met_sh)
             met_spec = P("x", "y", None, None, None)
             prof_padded = None
@@ -271,12 +293,27 @@ class FusedSharded2DModel:
         hr_np = np.asarray(grid.hhq_rest, np.float32)
         self.hr_const = (float(hr_np.flat[0])
                          if np.ptp(hr_np) == 0.0 else None)
+        # round-5 fast-mode reductions (see model/fused.py): bit-exact,
+        # default ON whenever the fast kernel runs; safe across shard
+        # margins — within each shard's valid+margin box the masks are
+        # the true global masks (the elided filter then reproduces the
+        # neighbour's own interior update bit-for-bit), and beyond the
+        # box the land-boxed planes keep every cell an exact zero
+        fast = self.static_rslu and (not self.metrics_2d or self.fast2d)
+        self.elide_sel = fast if elide_sel is None else bool(elide_sel)
+        self.q4 = fast if q4 is None else bool(q4)
+        self.share_prev = (fast if share_prev is None
+                           else bool(share_prev)) and steps_per_call > 1
+        if (self.elide_sel or self.q4 or self.share_prev) and not fast:
+            raise ValueError("elide_sel/q4/share_prev require fast mode")
         if self.static_rslu:
             names = fsk.plane_names(
                 cfg.sw.full_free_surface, cfg.sw.ksw_lat, self.mu_const,
                 self.metrics_2d,
-                hr_const=(self.hr_const if not self.metrics_2d
-                          else None))
+                hr_const=(self.hr_const
+                          if (not self.metrics_2d or self.fast2d)
+                          else None),
+                fast2d=self.fast2d)
             # planes are built PER SHARD from the land-boxed lu/hr
             # slices (see shard4): beyond each shard's valid+margin box
             # the rslu/ludxdy planes then take their LAND values, so the
@@ -284,14 +321,27 @@ class FusedSharded2DModel:
             # persistent carry's stale cells are copy-through no-ops
             planes = np.zeros((px, py, len(names), Xpad + 2 * M, Ysp),
                               np.float32)
+            if self.fast2d:
+                # per-shard pointwise recips for the rslu/metric folds
+                # (rows 0,1 dxdy; 10,11 interp recips; 14*15 h recip)
+                aux_sh = shard4(self._met_g[[0, 1, 10, 11, 14, 15]],
+                                lead=1)
             for i in range(px):
                 for j in range(py):
-                    if self.metrics_2d:
+                    if self.fast2d:
+                        qs2 = np.float32(0.25 if self.q4 else 1.0)
+                        dxdy = aux_sh[i, j, 0] * aux_sh[i, j, 1]
+                        recips = (aux_sh[i, j, 2] * qs2,
+                                  aux_sh[i, j, 3] * qs2,
+                                  aux_sh[i, j, 4] * aux_sh[i, j, 5])
+                    elif self.metrics_2d:
                         dxdy = met_sh[i, j, 0] * met_sh[i, j, 1]
                         recips = None
                     else:
+                        qs = np.float32(0.25 if self.q4 else 1.0)
                         dxdy = (prof_sh[j, 0] * prof_sh[j, 1])[None, :]
-                        recips = (prof_sh[j, 10:11], prof_sh[j, 11:12],
+                        recips = (prof_sh[j, 10:11] * qs,
+                                  prof_sh[j, 11:12] * qs,
                                   (prof_sh[j, 14]
                                    * prof_sh[j, 15])[None, :])
                     planes[i, j] = fsk.static_planes(
@@ -310,7 +360,11 @@ class FusedSharded2DModel:
             rslu_planes=(True if self.static_rslu else None),
             steps_per_call=self.steps_per_call,
             tile_guard=self.tile_guard, guard_y_margin=True,
-            hr_const=self.hr_const, alias_io=True)
+            hr_const=self.hr_const, alias_io=True,
+            elide_sel=self.elide_sel, q4=self.q4,
+            share_prev=self.share_prev, fast2d=self.fast2d,
+            met_map=self._met_map,
+            n_met=(len(self._met_map) if self.fast2d else 16))
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:
@@ -321,14 +375,17 @@ class FusedSharded2DModel:
         rows = fsk.metrics_profile_from_grid(grid, lay0)
         return rows[:, fsk.YPAD:fsk.YPAD + grid.ny]
 
-    def _global_planes(self, grid: Grid) -> np.ndarray:
+    def _global_planes(self, grid: Grid,
+                       derived: bool = False) -> np.ndarray:
         """(16, Exg+2M, Eyg+2M) full metric planes for the 2D-metrics
         sharded path; physical edges replicated (or wrapped on periodic
-        axes) so reciprocals stay finite."""
+        axes) so reciprocals stay finite. ``derived`` appends rows 16-21
+        (fast2d: vorticity diffs, stress ratios, folded Coriolis)."""
         M = self.M
         names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb",
                  "rlh_s"]
-        planes = np.zeros((16, self.Exg + 2 * M, self.Eyg + 2 * M),
+        planes = np.zeros((22 if derived else 16,
+                           self.Exg + 2 * M, self.Eyg + 2 * M),
                           np.float32)
         for k, name in enumerate(names):
             f = np.asarray(getattr(grid, name), np.float32)
@@ -344,7 +401,17 @@ class FusedSharded2DModel:
             for k, src in ((10, 2), (11, 3), (12, 4), (13, 5), (14, 6),
                            (15, 7)):
                 planes[k] = np.float32(1.0) / planes[src]
-        planes[9:16][~np.isfinite(planes[9:16])] = 0.0
+            if derived:
+                planes[16] = (planes[3] - planes[7]) * np.float32(0.25)
+                dxt_n1 = np.concatenate(
+                    [planes[2][:, 1:], planes[2][:, -1:]], axis=1)
+                planes[17] = (dxt_n1 - planes[6]) * np.float32(0.25)
+                planes[18] = (planes[2] - planes[6]) * np.float32(0.25)
+                planes[19] = planes[1] / planes[0]
+                planes[20] = planes[0] / planes[1]
+                planes[21] = planes[8] * planes[6] * planes[7] \
+                    * np.float32(0.25)
+        planes[9:][~np.isfinite(planes[9:])] = 0.0
         return planes
 
     # ------------------------------------------------------------------
@@ -401,10 +468,27 @@ class FusedSharded2DModel:
             g = jnp.where(valid, a[src_r[:, None], src_c[None, :]], 0.0)
             return jax.device_put(
                 g, NamedSharding(self.mesh, P("x", "y")))
-        fields = [state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
-                  state.vbrtr, state.vbrtrp]
-        for t in range(self.n_tracers):
-            fields += [state.ff[t], state.ffp[t]]
+        if self.elide_sel:
+            # land-zero invariant for the elided velocity/tracer selects
+            # (see model/fused.py::pack): mask once on the physical grid
+            lu_b = np.asarray(self.grid.lu) > 0.5
+            x1 = np.zeros_like(lu_b)
+            x1[:-1] = lu_b[1:]
+            y1 = np.zeros_like(lu_b)
+            y1[:, :-1] = lu_b[:, 1:]
+            wlcu = jnp.asarray((lu_b & x1).astype(np.float32))
+            wlcv = jnp.asarray((lu_b & y1).astype(np.float32))
+            wlu = jnp.asarray(lu_b.astype(np.float32))
+            fields = [state.ssh, state.sshp, state.ubrtr * wlcu,
+                      state.ubrtrp * wlcu, state.vbrtr * wlcv,
+                      state.vbrtrp * wlcv]
+            for t in range(self.n_tracers):
+                fields += [state.ff[t] * wlu, state.ffp[t] * wlu]
+        else:
+            fields = [state.ssh, state.sshp, state.ubrtr, state.ubrtrp,
+                      state.vbrtr, state.vbrtrp]
+            for t in range(self.n_tracers):
+                fields += [state.ff[t], state.ffp[t]]
         return tuple(embed(a) for a in fields)
 
     def extract(self, carry):

@@ -32,8 +32,30 @@ margin, outputs (TX, Ys) disjoint. Metric fields must be x-uniform
 they ride as (16, Ys) latitude profiles broadcast across rows.
 
 Restrictions vs the jnp path (which remains the general fallback):
-non-periodic boundaries, x-uniform metrics, spatially-constant mu,
-r_diss = 0 (the reference never writes it, core/data_types zero-init).
+non-periodic boundaries, spatially-constant mu, r_diss = 0 (the
+reference never writes it, core/data_types zero-init). x-varying
+(bipolar/curvilinear) metrics run through the fast-2D mode (round 5):
+the same fast restructurings with pointwise (Xs, Ys) metric planes,
+streaming only the rows the config consumes (fast2d_met_rows).
+
+Round-5 arithmetic reductions (fast mode, default ON in the drivers):
+
+- ``elide_sel``: the four u/up/v/vp filter selects (plus the tracer
+  pair) are dropped — un1/vn1 already select 0 at land and pack masks
+  the carriers, so land stays exactly 0 and the selects were identity.
+- ``q4``: the advection 1/4 interpolation factor folds into the
+  rslu_u/rslu_v static planes; every compensating constant (-4g,
+  -8tau, tau/2, 0.1875 thresholds, tracer -2.0/4mu) is an exact
+  exponent shift, so the F/G/K/L per-point 0.25 multiplies vanish.
+- ``share_prev``: step B of a chained call rebuilds its prev-level
+  depth interps from step A's (hu, hv, hup, hvp) through the leapfrog
+  filter identity (aq is affine in ssh with land-zero coefficients and
+  ts1 + 2*ts2 == 1), replacing two interps + two rolls + the aq fma
+  with three elementwise ops.
+
+All three are exact in real arithmetic; observed deviation vs the
+unreduced kernel is ~1 ulp/step from XLA FMA-contraction re-fusing
+(tests/test_fused.py::test_round5_*).
 """
 
 from __future__ import annotations
@@ -137,7 +159,8 @@ def _roll_y(a, dn: int, ys: int):
 
 
 def plane_names(ffs: int, ksw: int, mu_const: float,
-                metrics_2d: bool, hr_const: float | None = None) -> tuple:
+                metrics_2d: bool, hr_const: float | None = None,
+                fast2d: bool = False) -> tuple:
     """Static-plane set for the fast kernel, config-dependent so that no
     unused plane is streamed per tile:
 
@@ -153,10 +176,13 @@ def plane_names(ffs: int, ksw: int, mu_const: float,
       wlu wet mask: metric products are >> 1 m^2 on every config);
     - ``wlu``: only the viscosity branch multiplies by it.
 
-    With 2D metrics (bipolar grids) the fast restructurings are off and
-    only the three reciprocal planes are consumed.
+    With 2D metrics (bipolar grids) the default kernel consumes only the
+    three reciprocal planes; the fast-2D mode (``fast2d=True``) uses the
+    FULL fast set — the rslu planes carry the pointwise 2D metric recips
+    exactly as the 1D planes carry latitude rows, so every fast-mode
+    restructuring transfers verbatim.
     """
-    if metrics_2d:
+    if metrics_2d and not fast2d:
         return ("rslu_u", "rslu_v", "rslu_h")
     names = ["rslu_u", "rslu_v", "rslu_h", "ludxdy"]
     # spatially-constant bathymetry (the reference's shipped default:
@@ -178,7 +204,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                  ys_win: int | None = None, n_ty: int = 1,
                  out_col_crop: int = 0, hr_const: float | None = None,
                  stacked: bool = False, rcp_div: bool = False,
-                 resident_planes: bool = False, n_pl: int = 0):
+                 resident_planes: bool = False, n_pl: int = 0,
+                 elide_sel: bool = False, q4: bool = False,
+                 share_prev: bool = False, fast2d: bool = False,
+                 met_map: dict | None = None):
     M = lay.margin
     assert M >= 4 * steps_per_call, \
         f"margin {M} < 4*steps_per_call={4 * steps_per_call}"
@@ -192,13 +221,36 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     # loop drop per-step mask recomputes, fold the 0.25 constants into
     # end-of-chain/profile scalings, and restructure vorticity around
     # precomputed metric-difference profiles (x-uniform metrics only)
-    fast = bool(static_rslu and not metrics_2d)
+    # fast2d: the fast restructurings with per-point 2D metric planes
+    # (the rslu planes already carry pointwise recips; MT reads a pruned
+    # full-plane stack through met_map instead of latitude rows)
+    assert not fast2d or (static_rslu and metrics_2d and met_map), \
+        "fast2d needs static planes, 2D metrics, and a met row map"
+    fast = bool(static_rslu and (not metrics_2d or fast2d))
     hrc = hr_const if (hr_const is not None and ffs and fast) else None
     spx = ({n: i for i, n in enumerate(
-        plane_names(ffs, ksw, mu_const, metrics_2d, hr_const=hrc))}
+        plane_names(ffs, ksw, mu_const, metrics_2d, hr_const=hrc,
+                    fast2d=fast2d))}
         if static_rslu else None)
 
     uniform = UNIFORM_SHAPES
+    # Round-5 arithmetic reductions (all fast-mode; see the builder
+    # docstring): elide_sel and q4 are BIT-EXACT, share_prev regroups
+    # (f32 round-off vs the two-interp order).
+    assert not (elide_sel or q4 or share_prev) or fast, \
+        "elide_sel/q4/share_prev are fast-mode levers"
+    assert not share_prev or (uniform and not NARROW_CHAIN), \
+        "share_prev needs the uniform-shape graph (frames must match " \
+        "across chained steps)"
+    # q4 scalar rescales: the 1/4 advection-interpolation factor moves
+    # into the rslu_u/rslu_v static planes (host-side; power of two ->
+    # exact), so hu/hv/hup/hvp and the fluxes arrive pre-quartered and
+    # the per-point F/G/K/L 0.25 multiplies vanish. Every compensating
+    # constant below is an exact exponent shift.
+    g_s = -4.0 * g if q4 else -g                # slx/sly pressure scalar
+    tau_n = 0.5 * tau if q4 else 2.0 * tau      # un/vn numerator row
+    tau_c = -8.0 * tau if q4 else -2.0 * tau    # continuity row
+    thr_uv = 0.1875 if q4 else 0.75             # encoded-mask thresholds
 
     def kernel(*refs):
         if uniform:
@@ -284,7 +336,8 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
         # site names its halo so the window is sliced like the state.
         if metrics_2d:
             def MT(j, h, dm=0, dn=0):
-                return sl(C(met_ref[j]), M, h, dm, dn)
+                j2 = met_map[j] if met_map is not None else j
+                return sl(C(met_ref[j2]), M, h, dm, dn)
         else:
             met = met_ref[...]      # (N_PROF, Ys) latitude profiles
 
@@ -304,9 +357,11 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 """Static-plane slice (see plane_names)."""
                 return sl(C(planes_ref[spx[name]]), M, h)
 
-        def one_step(hb, ho, state, tracers):
+        def one_step(hb, ho, state, tracers, prev_dep=None):
             """One full model step: inputs at base halo ``hb``, outputs
-            at halo ``ho`` (hb >= ho + 4, the per-step stencil reach)."""
+            at halo ``ho`` (hb >= ho + 4, the per-step stencil reach).
+            ``prev_dep``: the previous chained step's (hu, hv, hup, hvp)
+            metric-weighted depth interps — see share_prev below."""
             ssh8, sshp8, u8, up8, v8, vp8 = state
 
             def LU(h, dm=0, dn=0):
@@ -430,9 +485,23 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 hv3 = interp_v(h3, aq_cur4, aq_cur4y, h4)
                 hh3 = interp_h(h3, aq_cur4, aq_cur4y, h4)
             # previous-level depths (pointwise consumers in update_uv)
-            aq_prev2 = aq_of(h2, sshp8)
-            hup1 = interp_u(h1, aq_prev2, h2)
-            hvp1 = interp_v(h1, aq_prev2, roll_y1(h2, aq_prev2), h2)
+            if prev_dep is not None:
+                # share_prev: the previous chained step already interped
+                # hu/hv/hup/hvp, and this step's sshp is its FILTER
+                # output. aq is affine in ssh with both coefficients 0
+                # on land and ts1 + 2*ts2 == 1 exactly, so the filter
+                # commutes through the (linear) interpolation sums:
+                #   hup = interp(aq(ts1*ssh + ts2*(sshn + sshp)))
+                #       = ts1*hu_prev + ts2*(hu_cur + hup_prev)
+                # — three cheap ops replacing the aq_prev fma, two
+                # interps, and their two rolls (f32 regrouping only).
+                phu, phv, phup, phvp = prev_dep
+                hup1 = (1.0 - ts) * phu + (0.5 * ts) * (hu3 + phup)
+                hvp1 = (1.0 - ts) * phv + (0.5 * ts) * (hv3 + phvp)
+            else:
+                aq_prev2 = aq_of(h2, sshp8)
+                hup1 = interp_u(h1, aq_prev2, h2)
+                hvp1 = interp_v(h1, aq_prev2, roll_y1(h2, aq_prev2), h2)
 
             # ---- continuity: sshn at halo 2 (sw_update_ssh_kernel) ----
             # uflux3/vflux3 double as uv_trans's u*dyh*hu / v*dxh*hv
@@ -452,7 +521,7 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # (1, Ys) profile row — a row-sized op instead of a
                 # full-array multiply.
                 sshn2 = sl(sshp8, hb, h2) \
-                    + fluxdiv2 * ((-2.0 * tau) * MT(9, h2))
+                    + fluxdiv2 * (tau_c * MT(9, h2))
             else:
                 wlu2 = LU(h2) > 0.5
                 sshn2 = jnp.where(
@@ -478,10 +547,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # rows the planes were premultiplied with, so a compare
                 # against a scaled (1, Ys) row replaces a streamed plane
                 def WLCU_f(h):
-                    return SP("rslu_u", h) < 0.75 * MT(10, h)
+                    return SP("rslu_u", h) < thr_uv * MT(10, h)
 
                 def WLCV_f(h):
-                    return SP("rslu_v", h) < 0.75 * MT(11, h)
+                    return SP("rslu_v", h) < thr_uv * MT(11, h)
 
                 def WLUU_f(h):
                     return SP("rslu_h", h) \
@@ -522,11 +591,21 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 vd2y = sl(vflux3, h3, h2, 0, 1)
                 # telescoped edge fluxes (see the non-fast branch), each
                 # pre-scaled by 1/4 on its F/G/K/L-private factor; the
-                # luu mask is static
-                F2 = (ud2 + ud2x) * ((u_c + u_x1_2) * 0.25)
-                G2 = ((vd2 + vd2x) * 0.25) * jnp.where(wluu_b2, s2u, 0.0)
-                K2 = (vd2 + vd2y) * ((v_c + v_y1_2) * 0.25)
-                L2 = ((ud2 + ud2y) * 0.25) * s2v
+                # luu mask is static. With q4 the 1/4 already rides the
+                # rslu_u/rslu_v planes (hu/hv and hence ud/vd arrive
+                # quartered), so the four per-point scalar multiplies
+                # vanish — exactly (power-of-two scaling).
+                if q4:
+                    F2 = (ud2 + ud2x) * (u_c + u_x1_2)
+                    G2 = (vd2 + vd2x) * jnp.where(wluu_b2, s2u, 0.0)
+                    K2 = (vd2 + vd2y) * (v_c + v_y1_2)
+                    L2 = (ud2 + ud2y) * s2v
+                else:
+                    F2 = (ud2 + ud2x) * ((u_c + u_x1_2) * 0.25)
+                    G2 = ((vd2 + vd2x) * 0.25) \
+                        * jnp.where(wluu_b2, s2u, 0.0)
+                    K2 = (vd2 + vd2y) * ((v_c + v_y1_2) * 0.25)
+                    L2 = ((ud2 + ud2y) * 0.25) * s2v
                 # Coriolis (MT21 = rlh*dxb*dyb/4) merges with the
                 # advection tail TWICE over:
                 # 1. the vorticity and Coriolis h-point factors share
@@ -730,9 +809,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 # so the update costs one full-array multiply less per
                 # component; 2tau/dxt is a (1, Ys) row.
                 slx = (sl(ssh_c2, h2, h1, 1, 0) - sl(ssh_c2, h2, h1)) \
-                    * hu1 * (-g)
+                    * hu1 * g_s
                 sly = (sl(ssh_c2, h2, h1, 0, 1) - sl(ssh_c2, h2, h1)) \
-                    * hv1 * (-g)
+                    * hv1 * g_s
                 if trans:
                     grx = slx + rx_dif1 + acx1
                     gry = sly + ry_dif1 + acy1
@@ -753,23 +832,23 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     un1 = jnp.where(
                         wlcu1,
                         (up1 * hup1
-                         + grx * ((2.0 * tau) * MT(10, h1))) * ru,
+                         + grx * (tau_n * MT(10, h1))) * ru,
                         0.0)
                     vn1 = jnp.where(
                         wlcv1,
                         (vp1 * hvp1
-                         + gry * ((2.0 * tau) * MT(11, h1))) * rv,
+                         + gry * (tau_n * MT(11, h1))) * rv,
                         0.0)
                 else:
                     un1 = jnp.where(
                         wlcu1,
                         (up1 * hup1
-                         + grx * ((2.0 * tau) * MT(10, h1))) / hu1,
+                         + grx * (tau_n * MT(10, h1))) / hu1,
                         0.0)
                     vn1 = jnp.where(
                         wlcv1,
                         (vp1 * hvp1
-                         + gry * ((2.0 * tau) * MT(11, h1))) / hv1,
+                         + gry * (tau_n * MT(11, h1))) / hv1,
                         0.0)
             else:
                 bpm_u = MT(2, h1) * MT(5, h1) * inv2tau  # dxt*dyh/2tau
@@ -796,8 +875,9 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             # ---- leapfrog rotation + filter (sw_next_step) ----
             if fast:
                 wlu0 = SP("ludxdy", ho) > 0.5
-                wlcu0 = WLCU_f(ho)
-                wlcv0 = WLCV_f(ho)
+                if not elide_sel:
+                    wlcu0 = WLCU_f(ho)
+                    wlcv0 = WLCV_f(ho)
             else:
                 wlu0 = LU(ho) > 0.5
                 wlcu0 = WLCU(ho)
@@ -819,12 +899,24 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             ssh_new0 = jnp.where(wlu0, sshn0, ssh0)
             sshp_new0 = jnp.where(
                 wlu0, ts1 * ssh0 + ts2 * (sshn0 + sshp0), sshp0)
-            u_new0 = jnp.where(wlcu0, un0, u0)
-            up_new0 = jnp.where(
-                wlcu0, ts1 * u0 + ts2 * (un0 + up0), up0)
-            v_new0 = jnp.where(wlcv0, vn0, v0)
-            vp_new0 = jnp.where(
-                wlcv0, ts1 * v0 + ts2 * (vn0 + vp0), vp0)
+            if elide_sel:
+                # The velocity selects are REDUNDANT given the land-zero
+                # invariant (pack masks u/up by wlcu, v/vp by wlcv; land
+                # velocities are never written — sw_next_step only
+                # updates wlcu/wlcv points): at non-wlcu cells un1's own
+                # select yields 0 == u0, and the filter of three zeros
+                # is 0 == up0, so dropping the four wheres is BIT-EXACT.
+                # (ssh keeps its selects: sshn2 is nonzero on land cells
+                # adjacent to wet — the flux divergence reaches them.)
+                u_new0, up_new0 = un0, ts1 * u0 + ts2 * (un0 + up0)
+                v_new0, vp_new0 = vn0, ts1 * v0 + ts2 * (vn0 + vp0)
+            else:
+                u_new0 = jnp.where(wlcu0, un0, u0)
+                up_new0 = jnp.where(
+                    wlcu0, ts1 * u0 + ts2 * (un0 + up0), up0)
+                v_new0 = jnp.where(wlcv0, vn0, v0)
+                vp_new0 = jnp.where(
+                    wlcv0, ts1 * v0 + ts2 * (vn0 + vp0), vp0)
             new_state = (ssh_new0, sshp_new0, u_new0, up_new0,
                          v_new0, vp_new0)
 
@@ -872,17 +964,21 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     if not fast or diffusive:
                         dfdx = sl(ff2, h2, h1, 1, 0) - sl(ff2, h2, h1)
                         # (mu+mu)/2 * factor(=1) * dyh/dxt; in fast mode
-                        # the dyh/dxh ride inside hun1/hvn1 already
-                        mu_x = mu_const * (MT(10, h1) if fast
-                                           else MT(5, h1) * MT(10, h1))
+                        # the dyh/dxh ride inside hun1/hvn1 already (and
+                        # with q4 so does a 1/4 — compensated exactly in
+                        # the scalar)
+                        mu_c = 4.0 * mu_const if q4 else mu_const
+                        mu_x = mu_c * (MT(10, h1) if fast
+                                       else MT(5, h1) * MT(10, h1))
                         dfdy = sl(ff2, h2, h1, 0, 1) - sl(ff2, h2, h1)
-                        mu_y = mu_const * (MT(11, h1) if fast
-                                           else MT(4, h1) * MT(11, h1))
+                        mu_y = mu_c * (MT(11, h1) if fast
+                                       else MT(4, h1) * MT(11, h1))
                     if fast:
+                        adv_s = -2.0 if q4 else -0.5
                         fx1 = uh1 * ((sl(ff2, h2, h1)
-                                      + sl(ff2, h2, h1, 1, 0)) * -0.5)
+                                      + sl(ff2, h2, h1, 1, 0)) * adv_s)
                         fy1 = vh1 * ((sl(ff2, h2, h1)
-                                      + sl(ff2, h2, h1, 0, 1)) * -0.5)
+                                      + sl(ff2, h2, h1, 0, 1)) * adv_s)
                         if diffusive:
                             fx1 = fx1 + mu_x * hun1m * dfdx
                             fy1 = fy1 + mu_y * hvn1m * dfdy
@@ -914,11 +1010,19 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                     bp_g = bp if fast else jnp.where(wlu0, bp, 1.0)
                     ffn0 = jnp.where(
                         wlu0, (bp0 * ffp0 + rhs) / bp_g, 0.0)
-                    # filter + rotation (tracer_next_step_kernel)
-                    new_tracers.append(jnp.where(wlu0, ffn0, ff0))
-                    new_tracers.append(jnp.where(
-                        wlu0, (1.0 - ts) * ff0 + ts2 * (ffn0 + ffp0),
-                        ffp0))
+                    # filter + rotation (tracer_next_step_kernel); with
+                    # elide_sel the land selects drop (ffn0 is already
+                    # wlu0-selected to 0 and pack masks ff/ffp by wlu,
+                    # so the land filter is 0 == ffp0 — bit-exact)
+                    if elide_sel:
+                        new_tracers.append(ffn0)
+                        new_tracers.append(
+                            (1.0 - ts) * ff0 + ts2 * (ffn0 + ffp0))
+                    else:
+                        new_tracers.append(jnp.where(wlu0, ffn0, ff0))
+                        new_tracers.append(jnp.where(
+                            wlu0, (1.0 - ts) * ff0 + ts2 * (ffn0 + ffp0),
+                            ffp0))
 
             # ---- per-step stability reduction (check_ssh_err_kernel,
             # vel_ssh.f90:40-67 — the reference checks EVERY step) ----
@@ -937,13 +1041,15 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
             if guard_col:
                 sshx = sshx[:, guard_col:-guard_col]
             stepmax = jnp.max(jnp.abs(sshx))
-            return new_state, new_tracers, stepmax
+            return (new_state, new_tracers, stepmax,
+                    (hu3, hv3, hup1, hvp1))
 
         state = (ssh8, sshp8, u8, up8, v8, vp8)
         tracers = tr8
         hb = M
         mx = jnp.zeros((), jnp.float32)
         narrow = NARROW_CHAIN and uniform and steps_per_call > 1
+        dep = None
         for s in range(steps_per_call):
             # chained steps: step outputs at halo 4*(remaining steps)
             # stay exact (per-step reach <= 4; masked selects keep land
@@ -956,7 +1062,10 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
                 state = tuple(x[4:-4] for x in state)
                 tracers = [x[4:-4] for x in tracers]
                 cur["cut"] += 4
-            state, tracers, stepmax = one_step(hb, ho, state, tracers)
+            state, tracers, stepmax, dep_out = one_step(
+                hb, ho, state, tracers, prev_dep=dep)
+            if share_prev:
+                dep = dep_out
             mx = jnp.maximum(mx, stepmax)
             hb = ho
 
@@ -1072,7 +1181,15 @@ def build_persistent_sw_step(lay: FusedLayout, lu_s, hhq_rest_s,
 
     Restrictions (v1): x-uniform metrics (profile mode), uniform shapes,
     no 2D lane tiling / tile guard. Returns ``step(*fields) ->
-    (fields', max)`` advancing ``nsteps`` steps."""
+    (fields', max)`` advancing ``nsteps`` steps.
+
+    PROBE-ONLY: the mechanism probes measured the walk's fixed per-tile
+    overhead at 2.6-4 us (BASELINE.md "Round-4 probes") — above the
+    windowed pipeline — and the full-physics compiled form crashes the
+    remote Mosaic service; the builder is kept for the interpret-mode
+    parity tests and future toolchain re-probes. In compiled mode the
+    output margin rows are never written by the pinned out windows, so
+    ``step`` re-grounds them host-side below."""
     assert UNIFORM_SHAPES, "persistent walk requires the uniform graph"
     M, tx, Ys, Xs = lay.margin, lay.tx, lay.Ys, lay.Xs
     NT = lay.X // tx
@@ -1232,9 +1349,17 @@ def build_persistent_sw_step(lay: FusedLayout, lu_s, hhq_rest_s,
         **extra,
     )
 
+    z_m = jnp.zeros((M, Ys), jnp.float32)
+
     def step(*fields):
         res = call(*fields, *args)
-        return tuple(res[:-1]), res[-1]
+        # compiled mode never writes the margin rows of the outputs
+        # (pinned out windows cover interior rows only): re-ground them
+        # to the land zeros every caller expects instead of leaving
+        # undefined HBM bytes for the next window's t=0 load
+        outs = tuple(
+            f.at[:M].set(z_m).at[M + lay.X:].set(z_m) for f in res[:-1])
+        return outs, res[-1]
 
     return step
 
@@ -1252,7 +1377,10 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         hr_const: float | None = None,
                         stacked: bool = False, rcp_div: bool = False,
                         alias_io: bool = False,
-                        resident_planes: bool = False):
+                        resident_planes: bool = False,
+                        elide_sel: bool = False, q4: bool = False,
+                        share_prev: bool = False, fast2d: bool = False,
+                        met_map: dict | None = None, n_met: int = 16):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -1284,7 +1412,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     # runtime argument of step_raw (per-shard margined blocks)
     runtime_planes = rslu_planes is True
     static_rslu = rslu_planes is not None and rslu_planes is not False
-    fast = static_rslu and not metrics_2d
+    fast = static_rslu and (not metrics_2d or fast2d)
     visc = bool(ksw and mu_const != 0.0)
     has_lu = not fast
     has_hr = (not fast) or visc or (n_tracers > 0)
@@ -1307,7 +1435,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         assert lu_s is not None and ty is None, \
             "stacked form: unsharded driver, x-strip tiling only"
     n_pl_k = (len(plane_names(ffs, ksw, mu_const, metrics_2d,
-                              hr_const=hrc)) if static_rslu else 0)
+                              hr_const=hrc, fast2d=fast2d))
+              if static_rslu else 0)
     if resident_planes:
         assert static_rslu and ty is None and not stacked \
             and not runtime_planes, \
@@ -1323,7 +1452,10 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         ys_win=ys_win, n_ty=n_ty,
                         out_col_crop=(my if ty is not None else 0),
                         stacked=stacked, rcp_div=rcp_div,
-                        resident_planes=resident_planes, n_pl=n_pl_k)
+                        resident_planes=resident_planes, n_pl=n_pl_k,
+                        elide_sel=elide_sel, q4=q4,
+                        share_prev=share_prev, fast2d=fast2d,
+                        met_map=met_map)
 
     n_tiles = lay.X // tx
 
@@ -1355,7 +1487,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
 
     if metrics_2d:
         met_spec = pl.BlockSpec(
-            (pl.Element(16), pl.Element(tx + 2 * M), pl.Element(ys_win)),
+            (pl.Element(n_met), pl.Element(tx + 2 * M),
+             pl.Element(ys_win)),
             lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
                         xy(*a)[1] * ty if ty else 0),
             memory_space=pltpu.VMEM)
@@ -1617,13 +1750,34 @@ def static_planes(lu_s: np.ndarray, hr_s: np.ndarray, dxdy: np.ndarray,
     return np.stack([build[n]() for n in names]).astype(np.float32)
 
 
-def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:
+def fast2d_met_rows(trans: int, visc: bool, n_tracers: int) -> tuple:
+    """Metric-plane rows the FAST kernel consumes for a config — the
+    2D-metrics fast path streams only these (a pruned stack instead of
+    all 16/22 planes). Row meanings match
+    :func:`metrics_profile_from_grid`."""
+    rows = {9, 10, 11, 21}
+    if trans:
+        rows |= {14, 15, 16, 17, 18}
+    if visc:
+        rows |= {0, 1, 6, 7, 12, 13, 14, 15, 19, 20}
+    if n_tracers:
+        rows |= {0, 1}
+    return tuple(sorted(rows))
+
+
+def metrics_full_from_grid(grid, lay: FusedLayout,
+                           derived: bool = False) -> np.ndarray:
     """(16, Xs, Ys) full metric planes for the 2D-metrics fused path
     (bipolar / curvilinear grids, grid_parameters.f90:183 — metrics vary
     in both directions). Margins are edge-replicated so reciprocals stay
-    finite; plane order matches :func:`metrics_profile_from_grid`."""
+    finite; plane order matches :func:`metrics_profile_from_grid`.
+    ``derived=True`` (the fast-2D path) appends rows 16-21 — the
+    vorticity metric differences, stress ratios, and 0.25-folded
+    Coriolis product — computed pointwise exactly as the profile builder
+    does per latitude."""
     M = lay.margin
-    planes = np.zeros((16, lay.Xs, lay.Ys), np.float32)
+    n = 22 if derived else 16
+    planes = np.zeros((n, lay.Xs, lay.Ys), np.float32)
     names = ["dx", "dy", "dxt", "dyt", "dxh", "dyh", "dxb", "dyb", "rlh_s"]
     for k, name in enumerate(names):
         f = np.asarray(getattr(grid, name), np.float32)
@@ -1641,5 +1795,15 @@ def metrics_full_from_grid(grid, lay: FusedLayout) -> np.ndarray:
         for k, src in ((10, 2), (11, 3), (12, 4), (13, 5), (14, 6),
                        (15, 7)):
             planes[k] = np.float32(1.0) / planes[src]
-    planes[9:16][~np.isfinite(planes[9:16])] = 0.0
+        if derived:
+            planes[16] = (planes[3] - planes[7]) * np.float32(0.25)
+            dxt_n1 = np.concatenate(
+                [planes[2][:, 1:], planes[2][:, -1:]], axis=1)
+            planes[17] = (dxt_n1 - planes[6]) * np.float32(0.25)
+            planes[18] = (planes[2] - planes[6]) * np.float32(0.25)
+            planes[19] = planes[1] / planes[0]
+            planes[20] = planes[0] / planes[1]
+            planes[21] = planes[8] * planes[6] * planes[7] \
+                * np.float32(0.25)
+    planes[9:][~np.isfinite(planes[9:])] = 0.0
     return planes

@@ -25,7 +25,8 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                   static_rslu=False, steps_per_call=1, ty=None, my=128,
                   mask="frame", stacked=False, rcp_div=False,
                   persistent=False, resident_planes=False,
-                  narrow_chain=False):
+                  narrow_chain=False, elide_sel=None, q4=None,
+                  share_prev=False):
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_as250m_test)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -59,7 +60,8 @@ def bench_variant(name, tx, trans, vmem=None, n_inner=2000, windows=3,
                       steps_per_call=steps_per_call, ty=ty, my=my,
                       stacked=stacked, rcp_div=rcp_div,
                       persistent=persistent,
-                      resident_planes=resident_planes)
+                      resident_planes=resident_planes,
+                      elide_sel=elide_sel, q4=q4, share_prev=share_prev)
     carry = fm.pack(state)
 
     @jax.jit
@@ -169,6 +171,17 @@ VARIANTS = {
     "narrow64x2": dict(tx=64, trans=1, static_rslu=True,
                        steps_per_call=2, vmem=64 * 1024 * 1024,
                        narrow_chain=True),
+    # round 5: arithmetic reductions. r5ctl = the r4 default (both
+    # bit-exact levers OFF); r5eq = elide_sel + q4 (the new fast-mode
+    # default); r5all adds share_prev (chained prev-depth reuse via the
+    # filter identity, f32 regrouping)
+    "r5ctl": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  elide_sel=False, q4=False),
+    "r5eq": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2),
+    "r5all": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True),
+    "r5azov": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                   mask="azov", share_prev=True),
 }
 
 

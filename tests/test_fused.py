@@ -117,18 +117,63 @@ def test_fused_viscosity_branch(curve_grid, static_rslu):
 
 
 def test_fused_static_rslu_bitexact_2d():
-    """With 2D metrics (bipolar) the static planes only replace the
-    interp reciprocal-count selects — results must be bit-identical to
-    the in-kernel select chains."""
+    """With 2D metrics (bipolar) and fast2d OFF, the static planes only
+    replace the interp reciprocal-count selects — results must be
+    bit-identical to the in-kernel select chains."""
     grid, cfg, state = _case(2, True)
     fm = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True)
     fs = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
-                      static_rslu=True)
+                      static_rslu=True, fast2d=False)
     a6, ok1 = jax.jit(lambda s: fm.run_steps(s, 20))(fm.pack(state))
     b6, ok2 = jax.jit(lambda s: fs.run_steps(s, 20))(fs.pack(state))
     assert bool(ok1) and bool(ok2)
     for a, b in zip(a6, b6):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("with_islands,tracers,mu",
+                         [(False, 0, 0.0), (True, 0, 0.0),
+                          (True, 2, 500.0)])
+def test_fused_fast2d_matches_jnp(with_islands, tracers, mu):
+    """fast2d (round 5): the fast-mode restructurings with pointwise 2D
+    metric planes on a bipolar grid — the full production envelope
+    (grid_parameters.f90:183-417) through the fast kernel, streaming
+    only the config's consumed metric rows. Compared against the jnp
+    composition at f32 round-off tolerance (reassociation), with the
+    round-5 reductions at their fast-mode defaults."""
+    basin = basinpar_flat(70, 52, curve_grid=2, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1 if tracers else 0,
+                                  tracer_num=tracers or 1),
+                      precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    if with_islands:
+        rng = np.random.RandomState(3)
+        mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    if mu:
+        state = dataclasses.replace(
+            state, mu=jax.numpy.full_like(state.mu, mu))
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fs = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                      static_rslu=True, steps_per_call=2, mu_const=mu,
+                      share_prev=True)
+    assert fs.fast2d and fs.elide_sel and fs.q4
+    s6, ok2 = jax.jit(lambda s: fs.run_steps(s, 30))(fs.pack(state))
+    assert bool(ok2)
+    out = fs.unpack(s6, state)
+    names = ["ssh", "sshp", "ubrtr", "vbrtr", "ubrtrp", "vbrtrp"]
+    for t in range(tracers):
+        names += ["ff", "ffp"]
+    for name in names:
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 2e-5, (name, rel)
 
 
 @pytest.mark.parametrize("with_islands", [False, True])
@@ -471,3 +516,86 @@ def test_resident_planes_matches():
 
     for x, y in zip(run(), run(resident_planes=True)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_round5_reductions_bitexact():
+    """elide_sel (redundant land selects dropped) and q4 (advection 1/4
+    folded into the rslu_u/v planes — power-of-two scale) are exact in
+    real arithmetic; the only observed deviation is XLA FMA-contraction
+    re-fusing around the removed ops (~1 ulp/step). Land cells must stay
+    EXACTLY zero (the grounding invariant the elision relies on)."""
+    grid, cfg, state = _case(1, True)
+    ctl = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                       static_rslu=True, steps_per_call=2,
+                       elide_sel=False, q4=False)
+    opt = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                       static_rslu=True, steps_per_call=2)
+    assert opt.elide_sel and opt.q4       # fast-mode defaults
+    a6, ok1 = jax.jit(lambda s: ctl.run_steps(s, 30))(ctl.pack(state))
+    b6, ok2 = jax.jit(lambda s: opt.run_steps(s, 30))(opt.pack(state))
+    assert bool(ok1) and bool(ok2)
+    _assert_ulp_close(ctl, a6, opt, b6)
+
+
+def _assert_ulp_close(ctl, a6, opt, b6, rel=1e-6):
+    """Interior cells within FMA-contraction round-off; land cells (and
+    every interior land zero) bit-exact zeros in the reduced kernel."""
+    lay = opt.lay
+    lu = np.asarray(opt.grid.lu) > 0.5
+    for a, b in zip(a6, b6):
+        ai = np.asarray(a)[lay.margin:lay.margin + lay.nx,
+                           lay.ypad:lay.ypad + lay.ny]
+        bi = np.asarray(b)[lay.margin:lay.margin + lay.nx,
+                           lay.ypad:lay.ypad + lay.ny]
+        scale = max(np.abs(ai).max(), 1e-30)
+        assert np.abs(ai - bi).max() / scale < rel
+        # the elided-select invariant: land stays exactly zero for the
+        # velocity/tracer carriers (b6[0:2] are ssh/sshp, which keep
+        # their selects and the reference's land values)
+    for b in b6[2:]:
+        bi = np.asarray(b)[lay.margin:lay.margin + lay.nx,
+                           lay.ypad:lay.ypad + lay.ny]
+        assert np.all(bi[~lu] == 0.0)
+
+
+def test_round5_reductions_bitexact_tracers_visc():
+    """Same exactness contract with the tracer + viscosity branches on
+    (their q4 compensations and elided tracer selects)."""
+    basin = basinpar_flat(70, 52, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin,
+                      sw=SWConfig(use_tracers=1, tracer_num=2),
+                      precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    rng = np.random.RandomState(3)
+    mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    MU = 500.0
+    state = dataclasses.replace(
+        state, mu=jax.numpy.full_like(state.mu, MU))
+    ctl = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True, mu_const=MU,
+                       static_rslu=True, steps_per_call=2,
+                       elide_sel=False, q4=False)
+    opt = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True, mu_const=MU,
+                       static_rslu=True, steps_per_call=2)
+    a6, ok1 = jax.jit(lambda s: ctl.run_steps(s, 30))(ctl.pack(state))
+    b6, ok2 = jax.jit(lambda s: opt.run_steps(s, 30))(opt.pack(state))
+    assert bool(ok1) and bool(ok2)
+    _assert_ulp_close(ctl, a6, opt, b6)
+
+
+def test_round5_share_prev_tolerance():
+    """share_prev regroups step B's prev-depth interps through the
+    filter identity (exact in real arithmetic) — f32 round-off only."""
+    grid, cfg, state = _case(1, True)
+    ctl = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                       static_rslu=True, steps_per_call=2,
+                       share_prev=False)
+    opt = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
+                       static_rslu=True, steps_per_call=2,
+                       share_prev=True)
+    a6, ok1 = jax.jit(lambda s: ctl.run_steps(s, 30))(ctl.pack(state))
+    b6, ok2 = jax.jit(lambda s: opt.run_steps(s, 30))(opt.pack(state))
+    assert bool(ok1) and bool(ok2)
+    _assert_ulp_close(ctl, a6, opt, b6, rel=1e-5)

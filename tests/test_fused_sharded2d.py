@@ -246,3 +246,32 @@ def test_fused_2d_mesh_file_cuts(case):
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
         assert rel < 1e-5, (name, rel)
+
+
+def test_fused_2d_mesh_bipolar_fast2d_chained():
+    """fast2d on the sharded driver with chained steps + share_prev:
+    margin exchange every 2 model steps, pruned metric-plane streaming,
+    round-5 reductions at defaults."""
+    basin = basinpar_flat(70, 52, curve_grid=2, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, precision=prec)
+    mask = frame_of_land_mask(70, 52)
+    rng = np.random.RandomState(5)
+    mask[2:-2, 2:-2] |= (rng.rand(66, 48) < 0.15).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ref, ok = run_steps(jax.jit(make_step(grid, cfg)), state,
+                        np.float32(1.0), 30)
+    assert bool(ok)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             steps_per_call=2, share_prev=True)
+    assert fm.fast2d and fm.elide_sel and fm.q4
+    c, ok2 = fm.make_runner(30)(fm.pack(state))
+    assert bool(ok2)
+    fields = fm.extract(c)
+    for name, a, b in [("ssh", fields[0], ref.ssh),
+                       ("u", fields[2], ref.ubrtr),
+                       ("v", fields[4], ref.vbrtr)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert rel < 2e-5, (name, rel)
