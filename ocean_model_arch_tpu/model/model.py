@@ -108,6 +108,25 @@ class OceanModel:
             self.mesh = make_mesh(px, py)
             self._grid_s, self._state_s = prepare(self.grid, self.state,
                                                   self.mesh)
+            # Cut-line policy is decided HERE, not at run time (r4
+            # advice: the raise-late behavior made config validity
+            # depend on which compute path got selected). Non-uniform
+            # cut lines (weighted / file) are realized by the
+            # fused-sharded driver's pad+valid-extent margined carries;
+            # the uniform jnp-sharded fallback cannot honor them.
+            if not self._use_fused_sharded():
+                why = self._fused_sharded_blockers()
+                if self._file_cuts is not None:
+                    raise ValueError(
+                        "mod_decomposition=2 (cuts from file) needs the "
+                        "fused-sharded path, which this config cannot "
+                        f"select ({why}); use mod_decomposition=0, or "
+                        "lift the blocker")
+                if cfg.parallel.mod_decomposition == 1:
+                    print("MODEL: mod_decomposition=1 (weighted cuts) "
+                          "needs the fused-sharded path, which this "
+                          f"config cannot select ({why}); falling back "
+                          "to uniform cuts on the jnp-sharded path")
 
     def startup_report(self) -> str:
         """Decomposition + memory diagnostics (the reference's DD INFO /
@@ -194,16 +213,38 @@ class OceanModel:
                 and fused_available(self.grid, self.cfg, sharded=True,
                                     px=px, py=py))
 
+    def _fused_sharded_blockers(self) -> str:
+        """Human-readable reasons _use_fused_sharded() is False — for
+        the cut-line policy messages."""
+        from .fused import fused_available
+        px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
+        why = []
+        if jax.devices()[0].platform == "cpu":
+            why.append("CPU backend")
+        if self.grid.nx // px < 8 or self.grid.ny // py < 8:
+            why.append("shards narrower than 8 cells")
+        if self.cfg.precision.state_dtype != np.float32:
+            why.append("f64 precision")
+        if self.state_mu_const() is None:
+            why.append("spatially-varying mu")
+        if not fused_available(self.grid, self.cfg, sharded=True,
+                               px=px, py=py):
+            why.append("periodic axis not mesh-divisible")
+        return ", ".join(why) or "unknown blocker"
+
     def dynamic_load_balance(self, verbose: bool = True,
                              interpret: bool = False,
-                             steps_per_call: int = 2) -> list:
+                             steps_per_call: int = 2,
+                             tx: int = 64) -> list:
         """Closed-loop dynamic load balancing — the analog of
         control/preprocess.f90:21-100: build the sharded model with the
         current cut lines, run ``dlb_model_steps`` probe steps (timed),
         MEASURE each shard's work — the active (non-skipped) tile count,
         the exact quantity the per-tile wet guard executes — derive
         per-band compute powers = wet-share / work, re-cut the weighted
-        x edges, and keep the best decomposition. Honors parallel.par's
+        edges in BOTH axes (the reference re-packs its full 2D block
+        grid, preprocess.f90:71-72 feeding decomposition.f90:532-612),
+        and keep the best decomposition. Honors parallel.par's
         dlb_balance_steps / dlb_model_steps (previously parsed but
         unused). Returns the per-round history
         [(work_balance_ratio, probe_seconds), ...]; the selected model is
@@ -215,16 +256,17 @@ class OceanModel:
         px, py = p.mesh_x, p.mesh_y
         spc = steps_per_call
         n_probe = max(spc, (p.dlb_model_steps // spc) * spc)
-        powers = None
+        powers = powers_y = None
         best = None
         hist = []
         wet = np.asarray(self.grid.lu) > 0.5
         for r in range(p.dlb_balance_steps):
             fs = FusedSharded2DModel(
-                self.grid, self.cfg, self.cfg.run.tau, px, py,
+                self.grid, self.cfg, self.cfg.run.tau, px, py, tx=tx,
                 weighted=True, interpret=interpret,
                 mu_const=self.state_mu_const() or 0.0,
-                steps_per_call=spc, compute_powers_x=powers)
+                steps_per_call=spc, compute_powers_x=powers,
+                compute_powers_y=powers_y)
             # measured per-shard work: tiles the guard actually runs
             tiles = np.asarray(fs.tile_wet).sum(axis=2).astype(float)
             ratio = float(tiles.max() / max(tiles.mean(), 1e-12))
@@ -255,6 +297,18 @@ class OceanModel:
             work = np.where(work > 0, work, work.max() or 1.0)
             powers = shares / work
             powers = powers / powers.sum()
+            # ... and the symmetric y feedback (the r4 loop re-cut x
+            # only; the reference rebalances the full 2D block grid)
+            if py > 1:
+                shares_y = np.array([
+                    wet[:, int(fs.y_edges[k]):
+                        int(fs.y_edges[k + 1])].sum()
+                    for k in range(py)], float)
+                work_y = tiles.max(axis=0)
+                work_y = np.where(work_y > 0, work_y,
+                                  work_y.max() or 1.0)
+                powers_y = shares_y / work_y
+                powers_y = powers_y / powers_y.sum()
         self._fused_sh = best[1]
         if verbose:
             print(f"PREP: DLB selected cuts "
@@ -517,18 +571,10 @@ class OceanModel:
         # dynamic load balance (model.f90:64-89's dlb branch): probe,
         # measure, re-cut before the production loop
         if (cfg.parallel.dlb_balance_steps > 0
-                and cfg.parallel.mesh_x > 1
+                and (cfg.parallel.mesh_x > 1 or cfg.parallel.mesh_y > 1)
                 and self._use_fused_sharded()):
             self.dynamic_load_balance(verbose=verbose)
 
-        if self._file_cuts is not None and self.mesh is not None \
-                and not self._use_fused_sharded():
-            raise ValueError(
-                "mod_decomposition=2 (cuts from file) applies to the "
-                "fused-sharded path; this run selected the uniform "
-                "jnp-sharded path which cannot honor the file's cut "
-                "lines — use mod_decomposition=0/1 or a fused-capable "
-                "config")
         if cfg.parallel.debug_level >= 2 and self.mesh is not None:
             # the reference's sync_test hook (init_data.f90:41-44,
             # syncborder_block2D_gen_test.fi): verify the halo exchange

@@ -82,3 +82,41 @@ def test_dlb_trajectory_matches_uniform_split():
     rel = np.abs(ssh - np.asarray(ref.ssh)).max() / max(
         np.abs(np.asarray(ref.ssh)).max(), 1e-30)
     assert rel < 1e-5, rel
+
+
+def test_dlb_y_feedback_improves_y_dominated_imbalance():
+    """Round 5 (VERDICT r4 #5): the feedback loop re-cuts BOTH axes.
+    On a py-dominated mesh (2x4) over the Azov mask, the equal-wet y
+    cuts of round 0 leave tile-quantization imbalance that only a
+    y-recut can shed; the loop must move the y edges and improve the
+    measured work-balance ratio."""
+    om = _azov_model(2, 4, rounds=3, probe_steps=2)
+    hist = om.dynamic_load_balance(verbose=False, interpret=True, tx=8)
+    ratios = [r for r, _ in hist]
+    assert min(ratios[1:]) < ratios[0] - 1e-9, ratios
+    # the y edges actually moved off the round-0 equal-wet cuts
+    from ocean_model_arch_tpu.parallel.decomposition import \
+        weighted_y_edges
+    im = (np.asarray(om.grid.lu) < 0.5).astype(np.int32)
+    ye0 = weighted_y_edges(im, 4, min_width=om._fused_sh.M)
+    assert not np.array_equal(np.asarray(om._fused_sh.y_edges), ye0) \
+        or min(ratios) == ratios[0]
+
+
+def test_dlb_y_trajectory_matches_reference():
+    """y-recut decompositions must not change the physics."""
+    import jax
+    from ocean_model_arch_tpu.model.step import make_step, run_steps
+
+    om = _azov_model(2, 4, rounds=2, probe_steps=2)
+    om.dynamic_load_balance(verbose=False, interpret=True, tx=8)
+    fs = om._fused_sh
+    carry, ok = fs.make_runner(10)(fs.pack(om.state))
+    assert bool(ok)
+    ssh = np.asarray(fs.extract(carry)[0])
+    ref, okr = run_steps(jax.jit(make_step(om.grid, om.cfg)), om.state,
+                         np.float32(1.0), 10)
+    assert bool(okr)
+    rel = np.abs(ssh - np.asarray(ref.ssh)).max() / max(
+        np.abs(np.asarray(ref.ssh)).max(), 1e-30)
+    assert rel < 1e-5, rel

@@ -407,3 +407,46 @@ def test_periodic_checkpointing(tmp_path):
                                                     verbose=False)
     np.testing.assert_allclose(np.asarray(final.ssh),
                                np.asarray(full.ssh), rtol=0, atol=0)
+
+
+def test_cut_line_policy_decided_at_init(tmp_path):
+    """Round 5 (VERDICT r4 #7): non-uniform cut lines are a
+    CONSTRUCTION-time decision, not a run-time surprise. On a backend
+    where the fused-sharded path cannot be selected (CPU here),
+    mod_decomposition=2 raises at OceanModel() with the blocker named,
+    and mod_decomposition=1 constructs with an explicit
+    uniform-fallback notice."""
+    import dataclasses
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest
+    from ocean_model_arch_tpu.config import ParallelConfig
+    from ocean_model_arch_tpu.parallel import decomposition as dd
+
+    from ocean_model_arch_tpu.model.model import OceanModel, \
+        load_config_dir
+
+    mask = os.path.join(REPO, "data/BS/mask_bs4km.txt")
+    d = _run_dir(tmp_path, mask, 289, 163)
+    cfg = load_config_dir(d)
+
+    # file cuts for a 2x1 mesh
+    m = np.asarray(read_mask(mask, 289, 163))
+    dec = dd.assign_uniform(dd.block_weights(m, 2, 2), 2, 1)
+    cuts = str(tmp_path / "cuts2.txt")
+    dd.dump_decomposition(dec, cuts)
+
+    cfg2 = dataclasses.replace(cfg, parallel=ParallelConfig(
+        mod_decomposition=2, file_decomposition=cuts,
+        mesh_x=2, mesh_y=1))
+    with pytest.raises(ValueError, match="CPU backend"):
+        OceanModel(cfg2, base_dir=d)
+
+    cfg1 = dataclasses.replace(cfg, parallel=ParallelConfig(
+        mod_decomposition=1, mesh_x=2, mesh_y=1))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        om = OceanModel(cfg1, base_dir=d)
+    assert "falling back to uniform cuts" in buf.getvalue()
+    assert om.mesh is not None          # the run still proceeds
