@@ -191,21 +191,27 @@ def main(workload: str = "default"):
     basin = basinpar_as250m_test()
     if workload == "bipolar":
         # the 2D-metrics fused variant (bipolar conformal grid,
-        # grid_parameters.f90:183): metrics vary in BOTH axes, so the
-        # kernel streams 16 full metric planes per tile — quantifies
-        # the perf envelope outside the x-uniform default. Black-Sea
-        # extents: the Azov-size 2D-metrics program hangs the remote
-        # Mosaic service (same pathology as Azov-size ty tiling,
-        # BASELINE.md "Negative probes")
+        # grid_parameters.f90:183) at Black-Sea extents — the small-
+        # domain point of the envelope (launch-bound: 256-lane padding
+        # for 163 valid columns). Runs through the round-5 fast2d
+        # kernel (same fast restructurings, pointwise metric planes).
         import dataclasses
         basin = dataclasses.replace(basin, nx=289, ny=163,
                                     dxst=0.05, dyst=0.04,
                                     rlon=27.525, rlat=40.94,
                                     curve_grid=2)
+    elif workload == "bipolar_azov":
+        # 2D metrics at PRODUCTION extents (1525x1115, real Azov
+        # coastline). Compiles since round 5: fast2d prunes the
+        # streamed planes and the fast2d default VMEM cap keeps the
+        # remote Mosaic service from crashing (uncapped compiles of
+        # this program die with HTTP 500 — BASELINE.md round-5 notes)
+        import dataclasses
+        basin = dataclasses.replace(basin, curve_grid=2)
     prec = Precision.f32()
     cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
                       precision=prec)
-    if workload == "azov_mask":
+    if workload in ("azov_mask", "bipolar_azov"):
         # the reference's ACTUAL shipped workload: same extents with the
         # real Azov Sea coastline (data/AS/maskAzovCor.txt, 41.1% wet —
         # mask files are 1=land, 0=water) — reports wet-points/s, the
@@ -271,7 +277,7 @@ def main(workload: str = "default"):
     # kernels, measured at 1.31e9 points/s/chip on this config/chip
     # (BASELINE.md; the reference itself publishes no numbers)
     baseline_pts_per_s = 1.31e9
-    if workload == "azov_mask":
+    if workload in ("azov_mask", "bipolar_azov"):
         out = {
             "metric": "sw_step_wet_points_per_sec_per_chip",
             "value": round(wet_points * n_inner / best, 1),

@@ -171,6 +171,11 @@ class FusedSWModel:
             # was measured
             raise ValueError("rcp_div requires fast mode "
                              "(static_rslu=True and 1D metrics)")
+        if fast and vmem_limit_bytes is None and not interpret:
+            # small vmem caps measured strictly faster on BOTH fast
+            # kernels, and the production-extent fast2d program only
+            # compiles capped (fused_step.FAST_VMEM_CAP notes)
+            vmem_limit_bytes = fsk.FAST_VMEM_CAP
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,

@@ -364,7 +364,9 @@ class FusedSharded2DModel:
             elide_sel=self.elide_sel, q4=self.q4,
             share_prev=self.share_prev, fast2d=self.fast2d,
             met_map=self._met_map,
-            n_met=(len(self._met_map) if self.fast2d else 16))
+            n_met=(len(self._met_map) if self.fast2d else 16),
+            vmem_limit_bytes=(fsk.FAST_VMEM_CAP if fast and not interpret
+                              else None))
 
     @staticmethod
     def _global_profiles(grid: Grid) -> np.ndarray:

@@ -71,6 +71,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.constants import FREE_FALL_ACC
 
 MARGIN = 8          # default x margin rows (2 steps x reach 4; 8-aligned)
+# Default Mosaic vmem_limit for fast-mode compiled kernels (1D and
+# 2D-metrics): the round-5 cap sweeps measured a broad FAST plateau at
+# small caps and strictly worse times above it — the limit steers
+# Mosaic's pipelining depth. x-uniform kernel: uncapped 17.7, 48MB
+# 17.6, 40MB 18.3, 36/32MB 18.5, 24MB 18.5, 16MB 18.0 Gpts/s.
+# Production-extent bipolar (fast2d): UNCAPPED CRASHES the remote
+# compile service (HTTP 500); 100MB 9.4 -> 64MB 13.4 -> 48MB 16.3 ->
+# 40MB 17.8 -> 32MB 17.5 Gpts/s — full parity with the x-uniform
+# kernel. 36MB sits on both plateaus. (This reverses r4's "64MB cap
+# costs 10%" on the pre-reduction kernel; re-sweep after major kernel
+# or Mosaic changes.)
+FAST_VMEM_CAP = 36 * 1024 * 1024
 
 
 def margin_for(steps_per_call: int) -> int:
@@ -239,9 +251,11 @@ def _make_kernel(lay: FusedLayout, tau: float, time_smooth: float,
     # (f32 round-off vs the two-interp order).
     assert not (elide_sel or q4 or share_prev) or fast, \
         "elide_sel/q4/share_prev are fast-mode levers"
-    assert not share_prev or (uniform and not NARROW_CHAIN), \
-        "share_prev needs the uniform-shape graph (frames must match " \
-        "across chained steps)"
+    if share_prev and (not uniform or NARROW_CHAIN):
+        # the probe-only graph modes (sliced shapes / narrow chain)
+        # change frame shapes across chained steps; share_prev needs
+        # matching frames, so it demotes rather than blocking the probe
+        share_prev = False
     # q4 scalar rescales: the 1/4 advection-interpolation factor moves
     # into the rslu_u/rslu_v static planes (host-side; power of two ->
     # exact), so hu/hv/hup/hvp and the fluxes arrive pre-quartered and

@@ -182,6 +182,29 @@ VARIANTS = {
                   share_prev=True),
     "r5azov": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
                    mask="azov", share_prev=True),
+    # round 5: approx-recip+Newton on top of the reductions (the divide
+    # share grew as the other ops shrank; r3's rcpn was ~neutral)
+    "r5rcp": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, rcp_div=True),
+    # round 5: vmem-cap sweep on the DEFAULT kernel (the fast2d Azov
+    # sweep found caps below ~64MB speed Mosaic's schedule up; r4 had
+    # measured 64MB costing 10% on the OLD kernel)
+    "r5v5": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                 share_prev=True, vmem=48 * 1024 * 1024),
+    "r5v4": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                 share_prev=True, vmem=40 * 1024 * 1024),
+    "r5v3": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                 share_prev=True, vmem=32 * 1024 * 1024),
+    "r5v45": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, vmem=44 * 1024 * 1024),
+    "r5v35": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, vmem=36 * 1024 * 1024),
+    "r5v24": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, vmem=24 * 1024 * 1024),
+    "r5v16": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, vmem=16 * 1024 * 1024),
+    "r5v20": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, vmem=20 * 1024 * 1024),
 }
 
 
