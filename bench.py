@@ -234,8 +234,8 @@ def main(workload: str = "default"):
         # the measured sweet spot (32/96/128/256 all slower) and
         # steps_per_call=2 chains two model steps per kernel launch,
         # halving streamed passes (scripts/fused_variants_probe)
-        fm = FusedSWModel(grid, cfg, 1.0, tx=64, static_rslu=True,
-                          steps_per_call=2)
+        fm = FusedSWModel(grid, cfg, 1.0, static_rslu=True,
+                          steps_per_call=2)   # tx auto (round-5 sweep)
         carry = fm.pack(state)
 
         @jax.jit

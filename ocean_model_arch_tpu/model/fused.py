@@ -25,7 +25,7 @@ class FusedSWModel:
     prognostic fields; depths/masks are recomputed in-kernel."""
 
     def __init__(self, grid: Grid, cfg: ModelConfig, tau: float,
-                 tx: int = 64, interpret: bool = False,
+                 tx: int | None = None, interpret: bool = False,
                  vmem_limit_bytes: int | None = None,
                  mu_const: float = 0.0, static_rslu: bool = False,
                  steps_per_call: int = 1,
@@ -49,6 +49,32 @@ class FusedSWModel:
         self.tau = float(tau)
         self.n_tracers = (cfg.sw.tracer_num if cfg.sw.use_tracers > 0
                           else 0)
+        if tx is None:
+            # auto tile size: under the round-5 vmem-cap regime LARGER
+            # x-tiles win on big domains (chip sweep: tx 64/128/192/256
+            # = 18.5/19.4/19.6/19.8 Gpts/s; >=384 exceeds the compile
+            # envelope). Take the largest candidate that adds NO
+            # padding over the historical tx=64 rounding; tracer
+            # configs keep 64 (their extra windows can outgrow the
+            # vmem cap at 256).
+            tx = 64
+            xuni = all(
+                np.array_equal(f := np.asarray(getattr(grid, n)),
+                               np.broadcast_to(f[:1], f.shape))
+                for n in ("dx", "dy", "dxt", "dyt", "dxh", "dyh",
+                          "dxb", "dyb", "rlh_s"))
+            if ty is None and self.n_tracers == 0 and mu_const == 0.0 \
+                    and xuni:
+                # pure-SW x-uniform window set only: tracer/viscosity/
+                # fast2d configs add streamed windows, and tx=256
+                # already sits at the compile floor of the 36MB cap
+                # (32MB fails)
+                x64 = -(-grid.nx // 64) * 64
+                for cand in (256, 128):
+                    if -(-grid.nx // cand) * cand == x64:
+                        tx = cand
+                        break
+        self.tx = tx
         self.ty, self.my = ty, my
         if ty is not None:
             self.lay = fsk.make_layout_2d(grid.nx, grid.ny, tx, ty, my,

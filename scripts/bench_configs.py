@@ -40,8 +40,8 @@ def bench_one(name: str, n_inner: int = 2000, windows: int = 3):
     om = OceanModel(cfg, base_dir=d)
     grid, state = om.grid, om.state
     tau = float(cfg.run.tau)
-    fm = FusedSWModel(grid, cfg, tau, tx=64, static_rslu=True,
-                      steps_per_call=2,
+    fm = FusedSWModel(grid, cfg, tau, static_rslu=True,
+                      steps_per_call=2,          # tx auto
                       mu_const=om.state_mu_const() or 0.0)
     carry = fm.pack(state)
 

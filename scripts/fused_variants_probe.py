@@ -205,6 +205,63 @@ VARIANTS = {
                   share_prev=True, vmem=16 * 1024 * 1024),
     "r5v20": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
                   share_prev=True, vmem=20 * 1024 * 1024),
+    # round 5: re-probe the r3/r4 negative levers UNDER the cap (they
+    # were measured uncapped or at 64MB, a different Mosaic regime)
+    "r5x4": dict(tx=64, trans=1, static_rslu=True, steps_per_call=4,
+                 share_prev=True, vmem=36 * 1024 * 1024),
+    "r5t32": dict(tx=32, trans=1, static_rslu=True, steps_per_call=2,
+                  share_prev=True, vmem=36 * 1024 * 1024),
+    "r5t128": dict(tx=128, trans=1, static_rslu=True, steps_per_call=2,
+                   share_prev=True, vmem=36 * 1024 * 1024),
+    "r5narrow": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                     share_prev=True, vmem=36 * 1024 * 1024,
+                     narrow_chain=True),
+    "r5stacked": dict(tx=64, trans=1, static_rslu=True,
+                      steps_per_call=2, vmem=36 * 1024 * 1024,
+                      stacked=True),
+    "r5azovv": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                    share_prev=True, vmem=36 * 1024 * 1024,
+                    mask="azov"),
+    # tx=128 won under the cap (19.4 vs 18.5) — refine around it
+    "r5t128v24": dict(tx=128, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=24 * 1024 * 1024),
+    "r5t128v48": dict(tx=128, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=48 * 1024 * 1024),
+    "r5t192": dict(tx=192, trans=1, static_rslu=True, steps_per_call=2,
+                   share_prev=True, vmem=36 * 1024 * 1024),
+    "r5t256": dict(tx=256, trans=1, static_rslu=True, steps_per_call=2,
+                   share_prev=True, vmem=36 * 1024 * 1024),
+    "r5t128x4": dict(tx=128, trans=1, static_rslu=True,
+                     steps_per_call=4, share_prev=True,
+                     vmem=36 * 1024 * 1024),
+    "r5t128azov": dict(tx=128, trans=1, static_rslu=True,
+                       steps_per_call=2, share_prev=True,
+                       vmem=36 * 1024 * 1024, mask="azov"),
+    "r5t384": dict(tx=384, trans=1, static_rslu=True, steps_per_call=2,
+                   share_prev=True, vmem=36 * 1024 * 1024),
+    "r5t384v48": dict(tx=384, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=48 * 1024 * 1024),
+    "r5t512v48": dict(tx=512, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=48 * 1024 * 1024),
+    "r5t512v64": dict(tx=512, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=64 * 1024 * 1024),
+    "r5t256azov": dict(tx=256, trans=1, static_rslu=True,
+                       steps_per_call=2, share_prev=True,
+                       vmem=36 * 1024 * 1024, mask="azov"),
+    "r5t256v32": dict(tx=256, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=32 * 1024 * 1024),
+    "r5t256v44": dict(tx=256, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=44 * 1024 * 1024),
+    "r5t256b": dict(tx=256, trans=1, static_rslu=True,
+                    steps_per_call=2, share_prev=True,
+                    vmem=36 * 1024 * 1024),
 }
 
 
