@@ -262,6 +262,16 @@ VARIANTS = {
     "r5t256b": dict(tx=256, trans=1, static_rslu=True,
                     steps_per_call=2, share_prev=True,
                     vmem=36 * 1024 * 1024),
+    # 2D (tx x ty) lane tiling on Azov UNDER the cap (the r3 compile
+    # hang may have been the uncapped pathology, like fast2d's)
+    "r5azov896": dict(tx=64, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=36 * 1024 * 1024, mask="azov", ty=896),
+    "r5azov512": dict(tx=64, trans=1, static_rslu=True,
+                      steps_per_call=2, share_prev=True,
+                      vmem=36 * 1024 * 1024, mask="azov", ty=512),
+    "r5respl": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
+                    vmem=36 * 1024 * 1024, resident_planes=True),
 }
 
 

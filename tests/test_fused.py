@@ -599,3 +599,40 @@ def test_round5_share_prev_tolerance():
     b6, ok2 = jax.jit(lambda s: opt.run_steps(s, 30))(opt.pack(state))
     assert bool(ok1) and bool(ok2)
     _assert_ulp_close(ctl, a6, opt, b6, rel=1e-5)
+
+
+def test_auto_tile_size_rule():
+    """Round-5 auto-tx: the largest no-extra-padding tile for pure-SW
+    x-uniform configs (chip sweep: 256 > 192 > 128 > 64 under the vmem
+    cap); tracer/viscosity/bipolar/small-pad configs stay at 64."""
+    basin = basinpar_flat(1525, 64, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    grid = build_grid(basin, frame_of_land_mask(1525, 64),
+                      precision=prec)
+    fm = FusedSWModel(grid, cfg, 1.0, interpret=True, static_rslu=True)
+    assert fm.lay.tx == 256 and fm.lay.X == 1536
+
+    # viscosity keeps 64 (extra windows near the cap's compile floor)
+    fv = FusedSWModel(grid, cfg, 1.0, interpret=True, static_rslu=True,
+                      mu_const=100.0)
+    assert fv.lay.tx == 64
+
+    # 258 rows: tx=256 would pad 49% — stays 64
+    basin2 = basinpar_flat(258, 64, curve_grid=1, rlon=27.5, rlat=41.0)
+    cfg2 = ModelConfig(basin=basin2, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    grid2 = build_grid(basin2, frame_of_land_mask(258, 64),
+                       precision=prec)
+    f2 = FusedSWModel(grid2, cfg2, 1.0, interpret=True, static_rslu=True)
+    assert f2.lay.tx == 64
+
+    # bipolar (fast2d) keeps 64
+    basin3 = basinpar_flat(1525, 64, curve_grid=2, rlon=27.5, rlat=41.0)
+    cfg3 = ModelConfig(basin=basin3, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    grid3 = build_grid(basin3, frame_of_land_mask(1525, 64),
+                       precision=prec)
+    f3 = FusedSWModel(grid3, cfg3, 1.0, interpret=True, static_rslu=True)
+    assert f3.fast2d and f3.lay.tx == 64
