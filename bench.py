@@ -278,8 +278,11 @@ def main(workload: str = "default"):
     # (BASELINE.md; the reference itself publishes no numbers)
     baseline_pts_per_s = 1.31e9
     if workload in ("azov_mask", "bipolar_azov"):
+        # distinct metric name per workload: a 2D-metrics number must
+        # not be mistakable for the x-uniform azov_mask headline series
+        tag = "" if workload == "azov_mask" else "[bipolar]"
         out = {
-            "metric": "sw_step_wet_points_per_sec_per_chip",
+            "metric": f"sw_step_wet_points_per_sec_per_chip{tag}",
             "value": round(wet_points * n_inner / best, 1),
             "unit": "wet points/s",
             "vs_baseline": round(pts_per_s / baseline_pts_per_s, 4),

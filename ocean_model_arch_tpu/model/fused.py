@@ -63,12 +63,17 @@ class FusedSWModel:
                                np.broadcast_to(f[:1], f.shape))
                 for n in ("dx", "dy", "dxt", "dyt", "dxh", "dyh",
                           "dxb", "dyb", "rlh_s"))
+            flat_hr = np.ptp(np.asarray(grid.hhq_rest)) == 0.0
             if ty is None and self.n_tracers == 0 and mu_const == 0.0 \
-                    and xuni:
-                # pure-SW x-uniform window set only: tracer/viscosity/
-                # fast2d configs add streamed windows, and tx=256
-                # already sits at the compile floor of the 36MB cap
-                # (32MB fails)
+                    and xuni and static_rslu and flat_hr:
+                # only the MEASURED envelope: the fast-mode pure-SW
+                # window set with the hr plane folded (flat bathymetry)
+                # under the 36MB cap. Every extra streamed window
+                # (tracers, viscosity wlu, hrludxdy, fast2d planes) or
+                # the uncapped non-fast graph leaves the measured
+                # tx=256 regime — tx=256 already sits at the cap's
+                # compile floor (32MB fails), and uncapped large tiles
+                # were strictly slower in r3.
                 x64 = -(-grid.nx // 64) * 64
                 for cand in (256, 128):
                     if -(-grid.nx // cand) * cand == x64:
@@ -126,10 +131,11 @@ class FusedSWModel:
         hr_np = np.asarray(grid.hhq_rest, np.float32)
         self.hr_const = (float(hr_np.flat[0])
                          if np.ptp(hr_np) == 0.0 else None)
-        # round-5 fast-mode arithmetic reductions (fused_step.py):
-        # elide_sel / q4 are bit-exact and default ON in fast mode;
-        # share_prev regroups the chained-step prev-depth interps
-        # (f32 round-off) and stays opt-in
+        # round-5 fast-mode arithmetic reductions (fused_step.py),
+        # ALL default ON in fast mode: elide_sel / q4 are exact in real
+        # arithmetic (~1 ulp FMA-contraction drift); share_prev
+        # REGROUPS the chained-step prev-depth interps (f32 round-off
+        # vs the two-interp order — measured +1% on chip)
         fast = bool(static_rslu) and (not self.metrics_2d
                                       or self.fast2d)
         auto = fast and not persistent   # the persistent probe builder
@@ -170,6 +176,8 @@ class FusedSWModel:
                 fast2d=self.fast2d)
             rslu = fsk.static_planes(lu_s, hr_s, dxdy, names,
                                      interp_recips=recips)
+            if self.fast2d:
+                del self._met22    # ~150MB host RAM at production size
         else:
             rslu = None
         self.steps_per_call = int(steps_per_call)

@@ -293,9 +293,10 @@ class FusedSharded2DModel:
         hr_np = np.asarray(grid.hhq_rest, np.float32)
         self.hr_const = (float(hr_np.flat[0])
                          if np.ptp(hr_np) == 0.0 else None)
-        # round-5 fast-mode reductions (see model/fused.py): bit-exact,
-        # default ON whenever the fast kernel runs; safe across shard
-        # margins — within each shard's valid+margin box the masks are
+        # round-5 fast-mode reductions (see model/fused.py), default
+        # ON whenever the fast kernel runs (elide_sel/q4 exact in real
+        # arithmetic; share_prev regroups at f32 round-off); safe
+        # across shard margins — within each shard's valid+margin box the masks are
         # the true global masks (the elided filter then reproduces the
         # neighbour's own interior update bit-for-bit), and beyond the
         # box the land-boxed planes keep every cell an exact zero
@@ -350,6 +351,8 @@ class FusedSharded2DModel:
             self.plane_shards = jnp.asarray(planes)
         else:
             self.plane_shards = None
+        if hasattr(self, "_met_g"):
+            del self._met_g        # full metric stack: init-time only
 
         self.steps_per_call = int(steps_per_call)
         self.step_raw = fsk.build_fused_sw_step(
@@ -405,8 +408,14 @@ class FusedSharded2DModel:
                 planes[k] = np.float32(1.0) / planes[src]
             if derived:
                 planes[16] = (planes[3] - planes[7]) * np.float32(0.25)
-                dxt_n1 = np.concatenate(
-                    [planes[2][:, 1:], planes[2][:, -1:]], axis=1)
+                if self.periodic_y:
+                    # the padded planes are wrap-consistent, so the y+1
+                    # shift must wrap too (edge replication would plant
+                    # a wrong dxt(n+1) exactly at the seam margin)
+                    dxt_n1 = np.roll(planes[2], -1, axis=1)
+                else:
+                    dxt_n1 = np.concatenate(
+                        [planes[2][:, 1:], planes[2][:, -1:]], axis=1)
                 planes[17] = (dxt_n1 - planes[6]) * np.float32(0.25)
                 planes[18] = (planes[2] - planes[6]) * np.float32(0.25)
                 planes[19] = planes[1] / planes[0]

@@ -201,21 +201,13 @@ class OceanModel:
         return None
 
     def _use_fused_sharded(self) -> bool:
-        from .fused import fused_available
-        on_tpu = jax.devices()[0].platform != "cpu"
-        px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
-        wide_enough = (self.grid.nx // px >= 8 and self.grid.ny // py >= 8)
-        return (on_tpu
-                and self.mesh is not None
-                and wide_enough
-                and self.cfg.precision.state_dtype == np.float32
-                and self.state_mu_const() is not None
-                and fused_available(self.grid, self.cfg, sharded=True,
-                                    px=px, py=py))
+        return self.mesh is not None and not self._fused_sharded_blockers()
 
     def _fused_sharded_blockers(self) -> str:
-        """Human-readable reasons _use_fused_sharded() is False — for
-        the cut-line policy messages."""
+        """The fused-sharded path's selection criteria, as the list of
+        reasons it is unavailable (empty string = selectable). The
+        SINGLE source of truth: _use_fused_sharded and the cut-line
+        policy messages both consume this, so they cannot drift."""
         from .fused import fused_available
         px, py = self.cfg.parallel.mesh_x, self.cfg.parallel.mesh_y
         why = []
@@ -230,7 +222,7 @@ class OceanModel:
         if not fused_available(self.grid, self.cfg, sharded=True,
                                px=px, py=py):
             why.append("periodic axis not mesh-divisible")
-        return ", ".join(why) or "unknown blocker"
+        return ", ".join(why)
 
     def dynamic_load_balance(self, verbose: bool = True,
                              interpret: bool = False,

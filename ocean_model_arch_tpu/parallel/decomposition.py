@@ -345,7 +345,8 @@ def read_decomposition(path: str, nx: int | None = None,
       edges are reconstructed from the reference's uniform split of the
       significant interior (block_uniform_decomposition: iterated
       ``floor(remaining/blocks_left)`` over ``nx-4`` points starting at
-      the 2-cell frame — identical to ``2 + floor((nx-4)*i/bnx)``), so
+      the 2-cell frame — NOT a linspace split: the iteration puts the
+      larger blocks last, e.g. 10 points over 4 blocks = 2,2,3,3), so
       ``nx``/``ny`` must be passed.
 
     Unrecognized row shapes raise instead of being skipped — a silently
@@ -357,7 +358,10 @@ def read_decomposition(path: str, nx: int | None = None,
         ref_format = len(header) >= 4
         xe = np.zeros(bnx + 1, np.int64)
         ye = np.zeros(bny + 1, np.int64)
-        w = np.zeros((bnx, bny), np.int64)
+        # float64: the reference's weights are compute-power-scaled
+        # real8 (recompute_weights_by_compute_powers) — truncating to
+        # int would collapse fractional weights to 0
+        w = np.zeros((bnx, bny), np.float64)
         owner = -np.ones((bnx, bny), np.int64)
         if ref_format:
             if nx is None or ny is None:
@@ -366,10 +370,25 @@ def read_decomposition(path: str, nx: int | None = None,
                     "(header 'bnx bny pnx pny', rows 'm n proc weight' "
                     "carry no block edges); pass nx/ny so the uniform "
                     "block edges can be reconstructed")
-            xe[:] = 2 + (np.arange(bnx + 1, dtype=np.int64)
-                         * (nx - 4)) // bnx
-            ye[:] = 2 + (np.arange(bny + 1, dtype=np.int64)
-                         * (ny - 4)) // bny
+
+            def ref_edges(n_sig: int, nb: int) -> np.ndarray:
+                # the reference's exact iteration
+                # (block_uniform_decomposition): size_m =
+                # floor(remaining / blocks_left)
+                e = np.zeros(nb + 1, np.int64)
+                total = 0
+                for m in range(nb):
+                    size = (n_sig - total) // (nb - m)
+                    if size <= 0:
+                        raise ValueError(
+                            f"{path}: block grid {nb} too fine for "
+                            f"{n_sig} interior points")
+                    total += size
+                    e[m + 1] = total
+                return e + 2          # interior starts at the 2-cell frame
+
+            xe[:] = ref_edges(nx - 4, bnx)
+            ye[:] = ref_edges(ny - 4, bny)
         for lineno, line in enumerate(f, start=2):
             parts = line.split()
             if not parts:
@@ -380,8 +399,13 @@ def read_decomposition(path: str, nx: int | None = None,
                         f"{path}:{lineno}: expected 4 columns "
                         f"'m n proc weight', got {len(parts)}")
                 i, j = int(parts[0]) - 1, int(parts[1]) - 1
+                if not (0 <= i < bnx and 0 <= j < bny):
+                    raise ValueError(
+                        f"{path}:{lineno}: block index ({parts[0]}, "
+                        f"{parts[1]}) outside the 1-based "
+                        f"{bnx}x{bny} grid")
                 owner[i, j] = int(parts[2])
-                w[i, j] = int(float(parts[3]))
+                w[i, j] = float(parts[3])
             else:
                 if len(parts) != 8:
                     raise ValueError(
@@ -391,7 +415,7 @@ def read_decomposition(path: str, nx: int | None = None,
                 i, j, x0, x1, y0, y1 = map(int, parts[:6])
                 xe[i], xe[i + 1] = x0, x1
                 ye[j], ye[j + 1] = y0, y1
-                w[i, j] = int(float(parts[6]))
+                w[i, j] = float(parts[6])
                 owner[i, j] = int(parts[7])
     return BlockDecomposition(bnx, bny, w, owner, xe, ye)
 

@@ -178,6 +178,26 @@ def test_read_reference_format_decomposition(tmp_path):
     assert (dec.bnx, dec.bny) == (4, 2)
     np.testing.assert_array_equal(dec.x_edges, [2, 27, 52, 77, 102])
     np.testing.assert_array_equal(dec.y_edges, [2, 27, 52])
+    # NON-divisible interior must follow the reference's iterated
+    # floor(remaining/blocks_left) split (larger blocks LAST:
+    # 10 over 4 = 2,2,3,3), not a linspace split (2,3,2,3)
+    p10 = str(tmp_path / "ref10.txt")
+    with open(p10, "w") as f:
+        f.write("4 2 1 1\n")
+        for m in range(1, 5):
+            for n in range(1, 3):
+                f.write(f"{m} {n} 0 1.0\n")
+    d10 = dd.read_decomposition(p10, nx=14, ny=14)
+    np.testing.assert_array_equal(d10.x_edges, [2, 4, 6, 9, 12])
+    # fractional (compute-power-scaled) weights survive
+    assert d10.weights[0, 0] == 1.0
+    # out-of-range 1-based indices raise instead of wrapping
+    pbad = str(tmp_path / "refbad.txt")
+    with open(pbad, "w") as f:
+        f.write("4 2 1 1\n")
+        f.write("0 1 0 1.0\n")
+    with pytest.raises(ValueError, match="outside the 1-based"):
+        dd.read_decomposition(pbad, nx=14, ny=14)
     assert dec.owner[0, 0] == 0 and dec.owner[3, 1] == 3
     assert dec.weights[2, 1] == 32
     # regular 2x2-blocks-per-proc assignment -> cut lines recover
