@@ -272,6 +272,9 @@ VARIANTS = {
                       vmem=36 * 1024 * 1024, mask="azov", ty=512),
     "r5respl": dict(tx=64, trans=1, static_rslu=True, steps_per_call=2,
                     vmem=36 * 1024 * 1024, resident_planes=True),
+    "r5t256x4": dict(tx=256, trans=1, static_rslu=True,
+                     steps_per_call=4, share_prev=True,
+                     vmem=48 * 1024 * 1024),
 }
 
 
