@@ -36,7 +36,8 @@ class FusedSWModel:
                  resident_planes: bool = False,
                  elide_sel: bool | None = None, q4: bool | None = None,
                  share_prev: bool | None = None,
-                 fast2d: bool | None = None):
+                 fast2d: bool | None = None,
+                 lane_window: bool | None = None):
         """``ty``: split the lane extent into (tx x ty) tiles with
         my-lane margins so the wet guard elides land in BOTH axes —
         worth it on realistic coastline masks (Azov: 35-45% of tiles are
@@ -210,6 +211,29 @@ class FusedSWModel:
             # kernels, and the production-extent fast2d program only
             # compiles capped (fused_step.FAST_VMEM_CAP notes)
             vmem_limit_bytes = fsk.FAST_VMEM_CAP
+        # dynamic per-tile lane windows (round 5): on coastline masks
+        # whose per-strip wet spans leave whole 128-lane columns of
+        # land, windows shrink to the common span width and skip them
+        # (fused_step.lane_windows_from_mask). Auto-on when it saves
+        # at least one 128-lane column; needs alias_io so unwritten
+        # lanes persist as the carried land zeros.
+        lane_offs = None
+        self.lane_w = None
+        lw_ok = (fast and ty is None and not stacked
+                 and not resident_planes and not persistent
+                 and lane_window is not False)
+        if lw_ok:
+            offs, W = fsk.lane_windows_from_mask(lu_s, self.lay,
+                                                 self.steps_per_call)
+            if W < self.lay.Ys:
+                lane_offs, self.lane_w = offs, W
+            elif lane_window:
+                raise ValueError("lane_window cannot save lanes on "
+                                 "this mask (every span covers the "
+                                 "full lane extent)")
+        elif lane_window:
+            raise ValueError("lane_window requires the fast x-strip "
+                             "per-field streamed-plane form")
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
@@ -221,7 +245,9 @@ class FusedSWModel:
             resident_planes=resident_planes, elide_sel=self.elide_sel,
             q4=self.q4, share_prev=self.share_prev, fast2d=self.fast2d,
             met_map=self._met_map, n_met=int(met.shape[0])
-            if self.metrics_2d else 16)
+            if self.metrics_2d else 16,
+            lane_offsets=lane_offs, lane_w=self.lane_w,
+            alias_io=lane_offs is not None)
         if self.elide_sel:
             # land-zero invariant the elided selects rely on: mask the
             # velocity/tracer carriers once at pack time (bit-exact for

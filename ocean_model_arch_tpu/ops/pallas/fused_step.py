@@ -1394,7 +1394,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                         resident_planes: bool = False,
                         elide_sel: bool = False, q4: bool = False,
                         share_prev: bool = False, fast2d: bool = False,
-                        met_map: dict | None = None, n_met: int = 16):
+                        met_map: dict | None = None, n_met: int = 16,
+                        lane_offsets=None, lane_w: int | None = None):
     """Returns the fused step on fused-layout arrays; each call advances
     ``steps_per_call`` model steps (see module docstring). Every step
     function returns ``(fields_tuple, tile_max)`` where ``tile_max`` is
@@ -1444,6 +1445,20 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         assert (lay.Ys - 2 * my) % ty == 0, (lay.Ys, ty, my)
         n_ty = (lay.Ys - 2 * my) // ty
     ys_win = lay.Ys if ty is None else ty + 2 * my
+    # Dynamic per-tile lane windows (round 5): each x-strip tile reads
+    # and writes windows at a 128-aligned lane offset covering its wet
+    # span plus an 8-lane land buffer (the 2-chained-step roll-wrap
+    # reach) — on coastline masks the common width lane_w < Ys skips
+    # the all-land lanes outside every span. Offsets ride as a scalar-
+    # prefetch array; OUT windows cover only [off, off+W), so alias_io
+    # is REQUIRED (unwritten lanes persist as the carried land zeros).
+    lane = lane_offsets is not None
+    if lane:
+        assert ty is None and not stacked and not resident_planes, \
+            "lane windows: x-strip, per-field, streamed-plane form only"
+        assert alias_io, "lane windows need alias_io (unwritten lanes)"
+        assert lane_w is not None and lane_w % 128 == 0
+        ys_win = int(lane_w)
     hrc = hr_const if (hr_const is not None and ffs and fast) else None
     if stacked:
         assert lu_s is not None and ty is None, \
@@ -1482,10 +1497,17 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         def xy(i, j, *_):
             return i, j
 
+    def lane_off(*a):
+        # this tile lane offset: dynamic (prefetched, 128-aligned) in
+        # lane-window mode, the static y-tile offset otherwise
+        if lane:
+            return pl.multiple_of(a[1][a[0]], 128)
+        return xy(*a)[1] * ty if ty else 0
+
     def in_spec():
         def ix(*a):
             i, j = xy(*a)
-            return (pl.multiple_of(i * tx, 8), j * ty if ty else 0)
+            return (pl.multiple_of(i * tx, 8), lane_off(*a))
         return pl.BlockSpec(
             (pl.Element(tx + 2 * M), pl.Element(ys_win)),
             ix, memory_space=pltpu.VMEM)
@@ -1494,9 +1516,11 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         def ix(*a):
             i, j = xy(*a)
             return (pl.multiple_of(i * tx + M, 8),
-                    my + j * ty if ty else 0)
+                    (my + j * ty) if ty else lane_off(*a))
         return pl.BlockSpec(
-            (pl.Element(tx), pl.Element(lay.Ys if ty is None else ty)),
+            (pl.Element(tx),
+             pl.Element((ys_win if lane else lay.Ys)
+                        if ty is None else ty)),
             ix, memory_space=pltpu.VMEM)
 
     if metrics_2d:
@@ -1504,12 +1528,12 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
             (pl.Element(n_met), pl.Element(tx + 2 * M),
              pl.Element(ys_win)),
             lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
-                        xy(*a)[1] * ty if ty else 0),
+                        lane_off(*a)),
             memory_space=pltpu.VMEM)
     else:
         met_spec = pl.BlockSpec(
             (pl.Element(N_PROF), pl.Element(ys_win)),
-            lambda *a: (0, xy(*a)[1] * ty if ty else 0),
+            lambda *a: (0, lane_off(*a)),
             memory_space=pltpu.VMEM)
 
     shape = jax.ShapeDtypeStruct((lay.Xs, lay.Ys), jnp.float32)
@@ -1526,7 +1550,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         # there — the persistent-carry driver then needs NO per-step
         # re-grounding at all on unsharded axes. (Scalar-prefetch
         # operands count in the alias indexing.)
-        off = int(bool(tile_guard)) + int(has_lu) + int(has_hr)
+        off = int(lane) + int(bool(tile_guard)) + int(has_lu) \
+            + int(has_hr)
         if stacked:
             extra["input_output_aliases"] = {off: 0}
         else:
@@ -1553,7 +1578,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                 (pl.Element(n_pl), pl.Element(tx + 2 * M),
                  pl.Element(ys_win)),
                 lambda *a: (0, pl.multiple_of(xy(*a)[0] * tx, 8),
-                            xy(*a)[1] * ty if ty else 0),
+                            lane_off(*a)),
                 memory_space=pltpu.VMEM)]
     n_base = int(has_lu) + int(has_hr)
     n_f = 6 + 2 * n_tracers
@@ -1591,13 +1616,21 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         out_specs = [out_spec() for _ in range(n_out)] + [max_spec]
         out_shapes = [shape] * n_out + [max_shape]
     grid = (n_tiles,) if ty is None else (n_tiles, n_ty)
-    if tile_guard:
-        # per-tile wet flags ride as a scalar-prefetch SMEM plane; the
-        # guarded kernel reads flag[flat program id] before any tile work
+    n_pref = int(lane) + int(bool(tile_guard))
+    if lane:
+        # the lane-offset array is the FIRST prefetch operand; the
+        # kernel body never consumes it (index maps do), so strip it
+        inner_kern = kern
+
+        def kern(off_ref, *rest):  # noqa: F811 - deliberate rebind
+            inner_kern(*rest)
+    if n_pref:
+        # scalar-prefetch operands (lane offsets and/or per-tile wet
+        # flags) ride as SMEM planes ahead of the windows
         call = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=n_pref,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=out_specs),
@@ -1617,6 +1650,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         )
 
     if lu_s is None:
+        assert not lane, "lane windows: unsharded driver only (v1)"
         if static_rslu:
             assert runtime_planes, \
                 "raw form takes planes at runtime (rslu_planes=True)"
@@ -1652,6 +1686,8 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     else:
         statics = ()
     pre = ()
+    if lane:
+        pre = (jnp.asarray(lane_offsets, jnp.int32),)
     if tile_guard:
         lu_np = np.asarray(lu_s)
         if ty is None:
@@ -1663,7 +1699,7 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
                 [(lu_np[M + i * tx: M + (i + 1) * tx,
                         my + j * ty: my + (j + 1) * ty] > 0.5).any()
                  for i in range(n_tiles) for j in range(n_ty)], np.int32)
-        pre = (jnp.asarray(tw),)
+        pre = pre + (jnp.asarray(tw),)
 
     if stacked:
         def step_stacked(S):
@@ -1678,6 +1714,44 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
         return tuple(res[:-1]), res[-1]
 
     return step
+
+
+def lane_windows_from_mask(lu_s, lay: FusedLayout,
+                           steps_per_call: int) -> tuple:
+    """Per-tile 128-aligned lane-window offsets + the common window
+    width for the dynamic lane-window mode: each x-strip tile's window
+    must cover its rows' wet lane span plus a land buffer of the
+    per-step roll-wrap reach (4 cells; each chained step re-grounds
+    land through its output selects, so the reach does NOT accumulate —
+    8 is used as margin-of-safety parity with the x margins). Returns
+    ``(offsets[int32 n_tiles], W)`` with W a multiple of 128; W ==
+    lay.Ys means no lane can be skipped on this mask."""
+    M, tx, Ys = lay.margin, lay.tx, lay.Ys
+    n_tiles = lay.X // tx
+    buf = 8
+    lu = np.asarray(lu_s) > 0.5
+    need = []
+    for i in range(n_tiles):
+        rows = lu[i * tx: i * tx + tx + 2 * M]
+        cols = np.where(rows.any(axis=0))[0]
+        if cols.size == 0:
+            need.append(None)
+            continue
+        need.append((max(int(cols[0]) - buf, 0),
+                     min(int(cols[-1]) + buf, Ys - 1)))
+    W = 128
+    for nd in need:
+        if nd is None:
+            continue
+        lo, hi = nd
+        W = max(W, hi - (lo // 128) * 128 + 1)
+    W = min(-(-W // 128) * 128, Ys)
+    offs = np.zeros(n_tiles, np.int32)
+    for i, nd in enumerate(need):
+        if nd is None:
+            continue
+        offs[i] = min((nd[0] // 128) * 128, Ys - W)
+    return offs, int(W)
 
 
 def metrics_profile_from_grid(grid, lay: FusedLayout) -> np.ndarray:

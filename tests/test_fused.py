@@ -636,3 +636,44 @@ def test_auto_tile_size_rule():
                        precision=prec)
     f3 = FusedSWModel(grid3, cfg3, 1.0, interpret=True, static_rslu=True)
     assert f3.fast2d and f3.lay.tx == 64
+
+
+def test_lane_windows_match_full_width():
+    """Round-5 dynamic lane windows: on a mask whose wet spans leave
+    whole 128-lane land columns, the windowed kernel must reproduce the
+    full-width kernel at every wet cell (and keep land/skipped lanes at
+    exact zeros)."""
+    nx, ny = 96, 300               # Ys = 384: wet confined to lanes<180
+    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    prec = Precision.f32()
+    cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=0),
+                      precision=prec)
+    mask = np.ones((nx, ny), np.int32)
+    mask[2:-2, 2:178] = 0                        # wet band, lanes 2..177
+    rng = np.random.RandomState(9)
+    mask[2:-2, 2:178] |= (rng.rand(nx - 4, 176) < 0.1).astype(np.int32)
+    grid = build_grid(basin, mask, precision=prec)
+    state = init_ocean_state(grid, cfg)
+    ctl = FusedSWModel(grid, cfg, 1.0, tx=16, interpret=True,
+                       static_rslu=True, steps_per_call=2,
+                       lane_window=False)
+    lw = FusedSWModel(grid, cfg, 1.0, tx=16, interpret=True,
+                      static_rslu=True, steps_per_call=2)
+    assert lw.lane_w is not None and lw.lane_w < lw.lay.Ys, lw.lane_w
+    a6, ok1 = jax.jit(lambda s: ctl.run_steps(s, 30))(ctl.pack(state))
+    b6, ok2 = jax.jit(lambda s: lw.run_steps(s, 30))(lw.pack(state))
+    assert bool(ok1) and bool(ok2)
+    lay = lw.lay
+    wet = np.asarray(grid.lu) > 0.5
+    for a, b in zip(a6, b6):
+        ai = np.asarray(a)[lay.margin:lay.margin + nx,
+                           lay.ypad:lay.ypad + ny]
+        bi = np.asarray(b)[lay.margin:lay.margin + nx,
+                           lay.ypad:lay.ypad + ny]
+        # exact in real arithmetic; ~1 ulp XLA FMA-contraction drift
+        scale = max(np.abs(ai[wet]).max(), 1e-30)
+        assert np.abs(ai[wet] - bi[wet]).max() / scale < 1e-6
+    for b in b6[2:]:                 # velocity land lanes exact zeros
+        bi = np.asarray(b)[lay.margin:lay.margin + nx,
+                           lay.ypad:lay.ypad + ny]
+        assert np.all(bi[~wet] == 0.0)
