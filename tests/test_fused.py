@@ -344,8 +344,13 @@ def test_fused_2d_tiled_land_elision_bitexact():
     grid = build_grid(basin, mask, precision=cfg.precision)
     state = init_ocean_state(grid, cfg)
 
+    # lane_window=False: this mask confines wet to lanes < 150, which
+    # would auto-enable the (round-5) dynamic lane windows on the
+    # x-strip control and break BITWISE comparability (~1 ulp FMA
+    # contraction); the subject here is the ty-tiled guard
     f1 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
-                      static_rslu=True, steps_per_call=2)
+                      static_rslu=True, steps_per_call=2,
+                      lane_window=False)
     a, ok1 = f1.run_steps(f1.pack(state), 20)
     A = f1.unpack(a, state)
     f2 = FusedSWModel(grid, cfg, 1.0, tx=8, interpret=True,
