@@ -234,6 +234,7 @@ class FusedSWModel:
         elif lane_window:
             raise ValueError("lane_window requires the fast x-strip "
                              "per-field streamed-plane form")
+        n_met = int(met.shape[0]) if self.metrics_2d else 16
         self.step6 = fsk.build_fused_sw_step(
             self.lay, lu_s, hr_s, met, self.tau, cfg.sw.time_smooth,
             cfg.sw.full_free_surface, cfg.sw.trans_terms, cfg.sw.ksw_lat,
@@ -244,8 +245,7 @@ class FusedSWModel:
             hr_const=self.hr_const, stacked=stacked, rcp_div=rcp_div,
             resident_planes=resident_planes, elide_sel=self.elide_sel,
             q4=self.q4, share_prev=self.share_prev, fast2d=self.fast2d,
-            met_map=self._met_map, n_met=int(met.shape[0])
-            if self.metrics_2d else 16,
+            met_map=self._met_map, n_met=n_met,
             lane_offsets=lane_offs, lane_w=self.lane_w,
             alias_io=lane_offs is not None)
         if self.elide_sel:
@@ -254,14 +254,10 @@ class FusedSWModel:
             # every state the framework produces — land velocities are
             # zero-init and never written; sw_next_step only updates
             # wlcu/wlcv points)
-            lu_b = lu_s > 0.5
-            x1 = np.zeros_like(lu_b)
-            x1[:-1] = lu_b[1:]
-            y1 = np.zeros_like(lu_b)
-            y1[:, :-1] = lu_b[:, 1:]
-            self._wlcu = jnp.asarray((lu_b & x1).astype(np.float32))
-            self._wlcv = jnp.asarray((lu_b & y1).astype(np.float32))
-            self._wlu = jnp.asarray(lu_b.astype(np.float32))
+            wlcu, wlcv, wlu = fsk.staggered_wet_masks(lu_s)
+            self._wlcu = jnp.asarray(wlcu)
+            self._wlcv = jnp.asarray(wlcv)
+            self._wlu = jnp.asarray(wlu)
         self.stacked = bool(stacked)
         self._lu_s = jnp.asarray(lu_s)
         # persistent-VMEM megakernel mode: the whole state stays in VMEM

@@ -322,6 +322,9 @@ class FusedSharded2DModel:
             # persistent carry's stale cells are copy-through no-ops
             planes = np.zeros((px, py, len(names), Xpad + 2 * M, Ysp),
                               np.float32)
+            # q4 folds the advection 1/4 into the u/v interp recips
+            # (exact power-of-two scale, compensated in-kernel)
+            qs = np.float32(0.25 if self.q4 else 1.0)
             if self.fast2d:
                 # per-shard pointwise recips for the rslu/metric folds
                 # (rows 0,1 dxdy; 10,11 interp recips; 14*15 h recip)
@@ -330,16 +333,14 @@ class FusedSharded2DModel:
             for i in range(px):
                 for j in range(py):
                     if self.fast2d:
-                        qs2 = np.float32(0.25 if self.q4 else 1.0)
                         dxdy = aux_sh[i, j, 0] * aux_sh[i, j, 1]
-                        recips = (aux_sh[i, j, 2] * qs2,
-                                  aux_sh[i, j, 3] * qs2,
+                        recips = (aux_sh[i, j, 2] * qs,
+                                  aux_sh[i, j, 3] * qs,
                                   aux_sh[i, j, 4] * aux_sh[i, j, 5])
                     elif self.metrics_2d:
                         dxdy = met_sh[i, j, 0] * met_sh[i, j, 1]
                         recips = None
                     else:
-                        qs = np.float32(0.25 if self.q4 else 1.0)
                         dxdy = (prof_sh[j, 0] * prof_sh[j, 1])[None, :]
                         recips = (prof_sh[j, 10:11] * qs,
                                   prof_sh[j, 11:12] * qs,
@@ -482,14 +483,8 @@ class FusedSharded2DModel:
         if self.elide_sel:
             # land-zero invariant for the elided velocity/tracer selects
             # (see model/fused.py::pack): mask once on the physical grid
-            lu_b = np.asarray(self.grid.lu) > 0.5
-            x1 = np.zeros_like(lu_b)
-            x1[:-1] = lu_b[1:]
-            y1 = np.zeros_like(lu_b)
-            y1[:, :-1] = lu_b[:, 1:]
-            wlcu = jnp.asarray((lu_b & x1).astype(np.float32))
-            wlcv = jnp.asarray((lu_b & y1).astype(np.float32))
-            wlu = jnp.asarray(lu_b.astype(np.float32))
+            wlcu, wlcv, wlu = (jnp.asarray(m) for m in
+                               fsk.staggered_wet_masks(self.grid.lu))
             fields = [state.ssh, state.sshp, state.ubrtr * wlcu,
                       state.ubrtrp * wlcu, state.vbrtr * wlcv,
                       state.vbrtrp * wlcv]

@@ -1716,6 +1716,20 @@ def build_fused_sw_step(lay: FusedLayout, lu_s, hhq_rest_s, metrics_profile,
     return step
 
 
+def staggered_wet_masks(lu) -> tuple:
+    """(wlcu, wlcv, wlu) float32 0/1 masks from a T-point wet mask in
+    any layout — the staggered-gridpoint wet sets (grid_kernels.f90:
+    40-92 lcu/lcv/lu) used by the drivers' elide_sel pack masking."""
+    lu_b = np.asarray(lu) > 0.5
+    x1 = np.zeros_like(lu_b)
+    x1[:-1] = lu_b[1:]
+    y1 = np.zeros_like(lu_b)
+    y1[:, :-1] = lu_b[:, 1:]
+    return ((lu_b & x1).astype(np.float32),
+            (lu_b & y1).astype(np.float32),
+            lu_b.astype(np.float32))
+
+
 def lane_windows_from_mask(lu_s, lay: FusedLayout,
                            steps_per_call: int) -> tuple:
     """Per-tile 128-aligned lane-window offsets + the common window
