@@ -33,9 +33,10 @@ import sys
 N1, N2 = 12, 8          # steps before / after the checkpoint boundary
 
 
-def build_workload(nproc: int):
+def build_workload(nproc: int, curve_grid: int = 1):
     """Deterministic tiny workload, identical on every process (and in
-    the single-process reference the test compares against)."""
+    the single-process reference the test compares against);
+    ``curve_grid=2`` makes it bipolar (the fast2d sharded path)."""
     from ocean_model_arch_tpu.config import (ModelConfig, Precision,
                                              SWConfig, basinpar_flat)
     from ocean_model_arch_tpu.core.grid import build_grid
@@ -43,7 +44,8 @@ def build_workload(nproc: int):
     from ocean_model_arch_tpu.model.init import init_ocean_state
 
     nx, ny = 8 * max(nproc, 2), 24
-    basin = basinpar_flat(nx, ny, curve_grid=1, rlon=27.5, rlat=41.0)
+    basin = basinpar_flat(nx, ny, curve_grid=curve_grid,
+                          rlon=27.5, rlat=41.0)
     cfg = ModelConfig(basin=basin, sw=SWConfig(use_tracers=1,
                                                tracer_num=1),
                       precision=Precision.f32())
@@ -52,8 +54,11 @@ def build_workload(nproc: int):
     return grid, cfg, init_ocean_state(grid, cfg)
 
 
-def main_fused2d(proc_id: int, nproc: int, port: int, outdir: str) -> None:
-    """FusedSharded2DModel across 4 processes on a 2x2 mesh."""
+def main_fused2d(proc_id: int, nproc: int, port: int, outdir: str,
+                 curve_grid: int = 1) -> None:
+    """FusedSharded2DModel across 4 processes on a 2x2 mesh
+    (curve_grid=2: the fast2d bipolar kernel with its pruned metric
+    planes exchanges margins over Gloo)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 1)
@@ -68,7 +73,7 @@ def main_fused2d(proc_id: int, nproc: int, port: int, outdir: str) -> None:
         FusedSharded2DModel
 
     assert nproc == 4 and len(jax.devices()) == 4
-    grid, cfg, state = build_workload(nproc)
+    grid, cfg, state = build_workload(nproc, curve_grid)
     # steps_per_call=2 — the production driver's chained-exchange mode
     # (one margin exchange per TWO model steps crosses Gloo)
     fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
@@ -178,6 +183,10 @@ def main(proc_id: int, nproc: int, port: int, outdir: str) -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[5] if len(sys.argv) > 5 else "jnp"
-    entry = {"jnp": main, "fused2d": main_fused2d}[mode]
-    entry(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-          sys.argv[4])
+    if mode == "fused2d_bipolar":
+        main_fused2d(int(sys.argv[1]), int(sys.argv[2]),
+                     int(sys.argv[3]), sys.argv[4], curve_grid=2)
+    else:
+        entry = {"jnp": main, "fused2d": main_fused2d}[mode]
+        entry(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+              sys.argv[4])

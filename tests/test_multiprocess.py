@@ -139,3 +139,48 @@ def test_multiprocess_fused2d_2x2(tmp_path):
             np.asarray(a), np.asarray(b),
             err_msg=f"{name}: fused-sharded cross-process trajectory "
                     "diverged from the single-process virtual-mesh run")
+
+
+def test_multiprocess_fused2d_bipolar_2x2(tmp_path):
+    """fast2d (round 5) across real process boundaries: the bipolar
+    sharded kernel — pointwise pruned metric planes, reductions at
+    their defaults — on 4 OS processes over Gloo, bitwise vs the
+    single-process virtual-mesh run."""
+    nproc = 4
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(nproc), "12495",
+         str(tmp_path), "fused2d_bipolar"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for i in range(nproc)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
+    assert (tmp_path / "ok").exists()
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import multiprocess_worker as mw
+    import jax
+    from ocean_model_arch_tpu.model.fused_sharded2d import \
+        FusedSharded2DModel
+
+    grid, cfg, state = mw.build_workload(nproc, curve_grid=2)
+    fm = FusedSharded2DModel(grid, cfg, 1.0, 2, 2, tx=8, interpret=True,
+                             devices=jax.devices()[:4],
+                             steps_per_call=2)
+    assert fm.fast2d
+    c, ok = fm.make_runner(mw.N1)(fm.pack(state))
+    assert bool(ok)
+    c, ok = fm.make_runner(mw.N2)(c)
+    assert bool(ok)
+    fields = fm.extract(c)
+    got = np.load(tmp_path / "fused2d.npz")
+    for name, a, b in (("ssh", got["ssh"], fields[0]),
+                       ("u", got["u"], fields[2]),
+                       ("v", got["v"], fields[4]),
+                       ("tracer", got["tr"], fields[6])):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{name}: bipolar fast2d cross-process trajectory "
+                    "diverged from the single-process virtual-mesh run")
