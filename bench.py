@@ -23,7 +23,8 @@ points/s/chip on this config). The working set stays VMEM-resident across
 scan iterations (the copy-through probe for this tiling runs at 47.8
 Gpts/s, scripts/roofline_probe.py), so HBM is NOT the wall: the kernel is
 VPU-bound, and chaining steps_per_call model steps per launch amortizes
-the static-plane streaming. Round-2 default (tx=64, spc=2): 17.3 Gpts/s.
+the static-plane streaming. Round-5 default (auto tx=256, spc=2,
+elide_sel/q4/share_prev reductions, 36MB vmem cap): 19.5-19.8 Gpts/s.
 """
 
 import json
