@@ -66,17 +66,19 @@ class FusedSWModel:
                           "dxb", "dyb", "rlh_s"))
             flat_hr = np.ptp(np.asarray(grid.hhq_rest)) == 0.0
             if ty is None and self.n_tracers == 0 and mu_const == 0.0 \
-                    and xuni and static_rslu and flat_hr:
-                # only the MEASURED envelope: the fast-mode pure-SW
-                # window set with the hr plane folded (flat bathymetry)
-                # under the 36MB cap. Every extra streamed window
-                # (tracers, viscosity wlu, hrludxdy, fast2d planes) or
-                # the uncapped non-fast graph leaves the measured
-                # tx=256 regime — tx=256 already sits at the cap's
-                # compile floor (32MB fails), and uncapped large tiles
-                # were strictly slower in r3.
+                    and static_rslu and flat_hr:
+                # only the MEASURED envelopes: pure-SW flat-bathymetry
+                # window sets under the 36MB cap. x-uniform: tx=256
+                # (sweep 64/128/192/256 = 18.5/19.4/19.6/19.8; 256 sits
+                # at the cap's compile floor). fast2d (2D metrics, more
+                # streamed planes): tx=128 (17.8/18.1 at 64/128; 192+
+                # exceeds the compile envelope). Extra windows
+                # (tracers, viscosity, varying hr) and the uncapped
+                # non-fast graph keep the safe tx=64.
+                cands = ((256, 128) if xuni
+                         else ((128,) if fast2d is not False else ()))
                 x64 = -(-grid.nx // 64) * 64
-                for cand in (256, 128):
+                for cand in cands:
                     if -(-grid.nx // cand) * cand == x64:
                         tx = cand
                         break

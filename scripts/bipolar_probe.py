@@ -92,6 +92,14 @@ VARIANTS = {
                          vmem=64 * 1024 * 1024),
     "azov256x2v64": dict(nx=1525, ny=1115, tx=256, spc=2, mask="azov",
                          vmem=64 * 1024 * 1024),
+    "azov128x2v4": dict(nx=1525, ny=1115, tx=128, spc=2, mask="azov",
+                        vmem=40 * 1024 * 1024),
+    "azov128x2v36": dict(nx=1525, ny=1115, tx=128, spc=2, mask="azov",
+                         vmem=36 * 1024 * 1024),
+    "azov192x2v4": dict(nx=1525, ny=1115, tx=192, spc=2, mask="azov",
+                        vmem=40 * 1024 * 1024),
+    "azov192x2v48": dict(nx=1525, ny=1115, tx=192, spc=2, mask="azov",
+                         vmem=48 * 1024 * 1024),
     "azov64x2v3": dict(nx=1525, ny=1115, tx=64, spc=2, mask="azov",
                        vmem=32 * 1024 * 1024),
 }

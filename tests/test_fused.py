@@ -633,14 +633,15 @@ def test_auto_tile_size_rule():
     f2 = FusedSWModel(grid2, cfg2, 1.0, interpret=True, static_rslu=True)
     assert f2.lay.tx == 64
 
-    # bipolar (fast2d) keeps 64
+    # bipolar (fast2d) picks 128 (its measured optimum; 192+ exceeds
+    # the compile envelope)
     basin3 = basinpar_flat(1525, 64, curve_grid=2, rlon=27.5, rlat=41.0)
     cfg3 = ModelConfig(basin=basin3, sw=SWConfig(use_tracers=0),
                       precision=prec)
     grid3 = build_grid(basin3, frame_of_land_mask(1525, 64),
                        precision=prec)
     f3 = FusedSWModel(grid3, cfg3, 1.0, interpret=True, static_rslu=True)
-    assert f3.fast2d and f3.lay.tx == 64
+    assert f3.fast2d and f3.lay.tx == 128
 
 
 def test_lane_windows_match_full_width():
